@@ -1,0 +1,127 @@
+"""Downsampling kernels.
+
+Replaces Open3D's ``voxel_down_sample`` / ``voxel_down_sample_and_trace``
+(``point_cloud_processing.py:113``, ``tree_isolation.py:156-163``),
+``uniform_down_sample`` (``canopy_metrics.py:181-191``), and
+``farthest_point_down_sample`` (``skeletonize.py:127-133``) with
+device-resident equivalents over masked padded arrays.
+
+The voxel downsample keeps the *trace* (original point → representative row)
+as a first-class output: detail recovery (``reconstruction.py:23-228``, which
+the reference does by rescanning 41 file tiles) becomes a single gather.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+Array = jax.Array
+_INT32_MAX = np.iinfo(np.int32).max
+
+
+@partial(jax.jit, static_argnames=("voxel_size",))
+def voxel_downsample(
+    points: Array,
+    voxel_size: float,
+    mask: Array | None = None,
+) -> tuple[Array, Array, Array]:
+    """Voxel-grid downsample with centroid representatives and trace.
+
+    Returns ``(rep_points [N,3], rep_mask [N] bool, trace [N] i32)``:
+    representative rows keep their original row position (rep_mask marks one
+    row per occupied voxel; its coordinates become the voxel centroid — the
+    same semantics as Open3D's averaging voxel_down_sample), and ``trace[i]``
+    is the representative row index for original point i (-1 for dead rows).
+    """
+    n = points.shape[0]
+    if mask is None:
+        mask = jnp.ones(n, dtype=bool)
+    finite = mask & jnp.all(jnp.isfinite(points), axis=-1)
+    safe = jnp.where(finite[:, None], points, 0.0)
+    lo = jnp.min(jnp.where(finite[:, None], safe, jnp.inf), axis=0)
+    lo = jnp.where(jnp.isfinite(lo), lo, 0.0)
+    coords = jnp.floor((safe - lo[None, :]) / voxel_size).astype(jnp.int32)
+    # collision-free grouping via lexsort on the raw 3D coords (no packed
+    # int64 key — x64 is disabled); dead rows pushed to the end
+    coords = jnp.where(finite[:, None], coords, np.iinfo(np.int32).max)
+    order = jnp.lexsort((coords[:, 2], coords[:, 1], coords[:, 0]))
+    coords_s = coords[order]
+    live_s = finite[order]
+    pts_s = safe[order]
+    new_seg = jnp.concatenate(
+        [jnp.array([True]), jnp.any(coords_s[1:] != coords_s[:-1], axis=1)]
+    )
+    seg = jnp.cumsum(new_seg.astype(jnp.int32)) - 1  # [N] compressed segment idx
+    seg_sum = jax.ops.segment_sum(jnp.where(live_s[:, None], pts_s, 0.0), seg, num_segments=n)
+    seg_cnt = jax.ops.segment_sum(live_s.astype(jnp.float32), seg, num_segments=n)
+    centroid = seg_sum / jnp.maximum(seg_cnt, 1.0)[:, None]
+
+    # representative = first sorted row of each segment; map back to original rows
+    first_in_seg = new_seg & live_s
+    # original row index of the first row of segment s:
+    first_orig = jax.ops.segment_min(
+        jnp.where(live_s, order, _INT32_MAX), seg, num_segments=n
+    )  # [n_seg] first (lowest) original row per segment
+    rep_row_per_point_sorted = first_orig[seg]  # [N] in sorted order
+    trace = jnp.full(n, -1, dtype=jnp.int32)
+    trace = trace.at[order].set(
+        jnp.where(live_s, rep_row_per_point_sorted.astype(jnp.int32), -1)
+    )
+    rep_mask = jnp.zeros(n, dtype=bool)
+    rep_mask = rep_mask.at[jnp.where(first_in_seg, first_orig[seg], n)].set(
+        True, mode="drop"
+    )
+    rep_points = points
+    # write centroids into representative rows
+    seg_of_first = jnp.where(first_in_seg, seg, n)
+    rep_points = rep_points.at[jnp.where(first_in_seg, first_orig[seg], n)].set(
+        centroid[jnp.minimum(seg_of_first, n - 1)], mode="drop"
+    )
+    return rep_points, rep_mask & finite, trace
+
+
+@partial(jax.jit, static_argnames=("every_k",))
+def uniform_downsample(mask: Array, every_k: int) -> Array:
+    """Keep every k-th live point (Open3D ``uniform_down_sample`` semantics:
+    index-ordered). Returns refined mask."""
+    live_rank = jnp.cumsum(mask.astype(jnp.int32)) - 1
+    return mask & (live_rank % every_k == 0)
+
+
+@partial(jax.jit, static_argnames=("n_samples",))
+def farthest_point_sampling(
+    points: Array,
+    n_samples: int,
+    mask: Array | None = None,
+    start: int = 0,
+) -> Array:
+    """FPS: returns ``idx [n_samples] i32`` of selected rows (first = lowest
+    live row unless ``start`` given). Classic O(S·N) min-distance update,
+    fully on device (cf. PAPERS.md FuseFPS/FlashFPS for pruning directions).
+    """
+    n = points.shape[0]
+    if mask is None:
+        mask = jnp.ones(n, dtype=bool)
+    pts = jnp.where(mask[:, None], points, jnp.inf)
+    safe = jnp.where(mask[:, None], points, 0.0)
+    # first live row at/after `start`
+    live_idx = jnp.where(mask, jnp.arange(n), n)
+    first = jnp.min(jnp.where(live_idx >= start, live_idx, n))
+    first = jnp.where(first >= n, jnp.argmax(mask), first).astype(jnp.int32)
+
+    def body(carry, _):
+        min_d2, last = carry
+        diff = safe - safe[last][None, :]
+        d2 = jnp.sum(diff * diff, axis=-1)
+        d2 = jnp.where(mask, d2, -jnp.inf)
+        min_d2 = jnp.minimum(min_d2, d2)
+        nxt = jnp.argmax(min_d2).astype(jnp.int32)
+        return (min_d2, nxt), last
+
+    init = (jnp.where(mask, jnp.inf, -jnp.inf), first)
+    (_, _), picks = jax.lax.scan(body, init, None, length=n_samples)
+    return picks

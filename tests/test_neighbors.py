@@ -1,0 +1,95 @@
+"""Neighbor engine vs scipy cKDTree oracles (SURVEY.md §4 test strategy)."""
+
+import numpy as np
+import pytest
+from scipy.spatial import cKDTree
+
+import jax.numpy as jnp
+
+from pyqsm_tpu.ops.neighbors import (
+    build_grid,
+    grid_radius_knn,
+    knn,
+    max_cell_occupancy,
+    radius_count,
+    radius_knn,
+    recommend_cell_cap,
+)
+
+
+@pytest.fixture
+def cloud(rng):
+    return rng.uniform(0, 5, size=(3000, 3)).astype(np.float32)
+
+
+def test_knn_matches_scipy(cloud, rng):
+    queries = rng.uniform(0, 5, size=(500, 3)).astype(np.float32)
+    d, i = knn(jnp.asarray(queries), jnp.asarray(cloud), k=8)
+    tree = cKDTree(cloud)
+    d_ref, i_ref = tree.query(queries, k=8)
+    np.testing.assert_allclose(np.asarray(d), d_ref, rtol=2e-3, atol=1e-4)
+    # indices can differ on exact ties; compare distances of chosen idx instead
+    chosen = np.linalg.norm(cloud[np.asarray(i)] - queries[:, None], axis=-1)
+    np.testing.assert_allclose(chosen, d_ref, rtol=2e-3, atol=1e-4)
+
+
+def test_knn_respects_point_mask(cloud):
+    mask = np.ones(len(cloud), bool)
+    mask[::2] = False
+    d, i = knn(jnp.asarray(cloud[:100]), jnp.asarray(cloud), k=4,
+               point_mask=jnp.asarray(mask))
+    i = np.asarray(i)
+    assert (i % 2 == 1).all()  # only odd (live) indices returned
+
+
+def test_radius_knn_upper_bound(cloud, rng):
+    queries = rng.uniform(0, 5, size=(200, 3)).astype(np.float32)
+    r = 0.35
+    d, i = radius_knn(jnp.asarray(queries), jnp.asarray(cloud), radius=r, k=16)
+    d, i = np.asarray(d), np.asarray(i)
+    tree = cKDTree(cloud)
+    d_ref, i_ref = tree.query(queries, k=16, distance_upper_bound=r)
+    valid = np.isfinite(d)
+    valid_ref = np.isfinite(d_ref)
+    np.testing.assert_array_equal(valid, valid_ref)
+    np.testing.assert_allclose(d[valid], d_ref[valid_ref], rtol=2e-3, atol=1e-4)
+    assert (i[~valid] == -1).all()
+
+
+def test_radius_count(cloud, rng):
+    queries = rng.uniform(0, 5, size=(100, 3)).astype(np.float32)
+    r = 0.5
+    c = np.asarray(radius_count(jnp.asarray(queries), jnp.asarray(cloud), radius=r))
+    tree = cKDTree(cloud)
+    ref = np.array([len(tree.query_ball_point(q, r)) for q in queries])
+    np.testing.assert_array_equal(c, ref)
+
+
+def test_grid_radius_knn_matches_bruteforce(cloud, rng):
+    queries = rng.uniform(0, 5, size=(300, 3)).astype(np.float32)
+    r = 0.3
+    index = build_grid(jnp.asarray(cloud), cell_size=r)
+    cap = recommend_cell_cap(index)
+    assert int(max_cell_occupancy(index)) <= cap
+    dg, ig = grid_radius_knn(index, jnp.asarray(queries), radius=r, k=12, cell_cap=cap)
+    db, ib = radius_knn(jnp.asarray(queries), jnp.asarray(cloud), radius=r, k=12)
+    dg, db = np.asarray(dg), np.asarray(db)
+    np.testing.assert_allclose(
+        np.where(np.isfinite(dg), dg, -1), np.where(np.isfinite(db), db, -1),
+        rtol=2e-3, atol=1e-4,
+    )
+
+
+def test_grid_handles_mask(cloud):
+    mask = np.ones(len(cloud), bool)
+    mask[1000:] = False
+    index = build_grid(jnp.asarray(cloud), cell_size=0.4, mask=jnp.asarray(mask))
+    d, i = grid_radius_knn(index, jnp.asarray(cloud[:50]), radius=0.4, k=8, cell_cap=64)
+    i = np.asarray(i)
+    assert i.max() < 1000
+
+
+def test_knn_self_query_excludes_self_with_k_plus_1(cloud):
+    d, i = knn(jnp.asarray(cloud[:64]), jnp.asarray(cloud), k=2)
+    assert (np.asarray(i)[:, 0] == np.arange(64)).all()
+    assert np.allclose(np.asarray(d)[:, 0], 0, atol=1e-5)

@@ -1,0 +1,103 @@
+import numpy as np
+import jax.numpy as jnp
+
+from pyqsm_tpu.ops.sampling import voxel_downsample, uniform_downsample, farthest_point_sampling
+from pyqsm_tpu.ops.outliers import statistical_outlier_mask, clean_cloud
+from pyqsm_tpu.ops.normals import estimate_normals, angle_to_horizontal, filter_by_norm
+from pyqsm_tpu.ops.linalg3 import sym_eig3, sym_eigvals3
+
+
+def test_voxel_downsample_counts(rng):
+    pts = rng.uniform(0, 2, size=(5000, 3)).astype(np.float32)
+    rep_pts, rep_mask, trace = voxel_downsample(jnp.asarray(pts), 0.25)
+    rep_mask = np.asarray(rep_mask)
+    # number of representatives == number of occupied voxels
+    vox = np.floor(pts / 0.25 - np.floor(pts.min(0) / 0.25 + 1e-7)).astype(int)
+    vox = np.floor((pts - pts.min(0)) / 0.25).astype(int)
+    n_vox = len(np.unique(vox, axis=0))
+    assert rep_mask.sum() == n_vox
+    # trace points at live representative rows
+    trace = np.asarray(trace)
+    assert (trace >= 0).all()
+    assert rep_mask[trace].all()
+    # representative is centroid of its voxel: mean error small
+    rep_of_point = np.asarray(rep_pts)[trace]
+    assert np.abs(rep_of_point - pts).max() < 0.25 * np.sqrt(3)
+
+
+def test_voxel_downsample_respects_mask(rng):
+    pts = rng.uniform(0, 1, size=(100, 3)).astype(np.float32)
+    mask = np.zeros(100, bool); mask[:50] = True
+    _, rep_mask, trace = voxel_downsample(jnp.asarray(pts), 0.05, jnp.asarray(mask))
+    assert not np.asarray(rep_mask)[50:].any()
+    assert (np.asarray(trace)[50:] == -1).all()
+
+
+def test_uniform_downsample():
+    mask = jnp.ones(100, bool)
+    m = np.asarray(uniform_downsample(mask, 5))
+    assert m.sum() == 20
+    assert m[0] and not m[1]
+
+
+def test_fps_spreads(rng):
+    pts = rng.uniform(0, 1, size=(500, 3)).astype(np.float32)
+    idx = np.asarray(farthest_point_sampling(jnp.asarray(pts), 32))
+    assert len(np.unique(idx)) == 32
+    # FPS min pairwise distance should beat random choice substantially
+    sel = pts[idx]
+    d = np.linalg.norm(sel[:, None] - sel[None], axis=-1)
+    np.fill_diagonal(d, np.inf)
+    rnd = pts[rng.choice(500, 32, replace=False)]
+    dr = np.linalg.norm(rnd[:, None] - rnd[None], axis=-1)
+    np.fill_diagonal(dr, np.inf)
+    assert d.min() > dr.min()
+
+
+def test_outlier_removal(rng):
+    pts = rng.normal(0, 0.1, size=(1000, 3)).astype(np.float32)
+    pts[:10] += 5.0  # gross outliers
+    mask = statistical_outlier_mask(jnp.asarray(pts), jnp.ones(1000, bool),
+                                    nb_neighbors=16, std_ratio=2.0)
+    mask = np.asarray(mask)
+    assert not mask[:10].any()
+    assert mask[10:].mean() > 0.9
+
+
+def test_clean_cloud_runs(rng):
+    pts = rng.uniform(0, 1, size=(2000, 3)).astype(np.float32)
+    p, m, t = clean_cloud(jnp.asarray(pts), jnp.ones(2000, bool), voxel_size=0.05)
+    assert np.asarray(m).sum() > 100
+
+
+def test_sym_eig3_matches_numpy(rng):
+    A = rng.normal(size=(64, 3, 3)).astype(np.float32)
+    A = A + np.transpose(A, (0, 2, 1))
+    vals, vecs = sym_eig3(jnp.asarray(A))
+    vals, vecs = np.asarray(vals), np.asarray(vecs)
+    ref = np.linalg.eigvalsh(A)
+    np.testing.assert_allclose(vals, ref, rtol=1e-3, atol=1e-3)
+    # eigenvector property  A v = lambda v
+    for j in range(3):
+        Av = np.einsum("nij,nj->ni", A, vecs[:, :, j])
+        lv = vals[:, j:j + 1] * vecs[:, :, j]
+        np.testing.assert_allclose(Av, lv, atol=5e-3)
+
+
+def test_normals_on_plane(rng):
+    # points on z=0 plane -> normals ±z, aligned consistently
+    pts = np.concatenate([rng.uniform(0, 1, size=(800, 2)),
+                          np.zeros((800, 1))], axis=1).astype(np.float32)
+    n = np.asarray(estimate_normals(jnp.asarray(pts), jnp.ones(800, bool), k=12))
+    assert np.abs(n[:, 2]).min() > 0.99
+    assert (n[:, 2] > 0).all() or (n[:, 2] < 0).all()
+
+
+def test_stem_filter_on_cylinder(cylinder_points):
+    pts = cylinder_points  # vertical cylinder: normals ~horizontal
+    mask = jnp.ones(len(pts), bool)
+    n = estimate_normals(jnp.asarray(pts), mask, k=16)
+    ang = np.asarray(angle_to_horizontal(n))
+    assert np.median(ang) < 15
+    kept = np.asarray(filter_by_norm(n, mask, angle_cutoff=20.0))
+    assert kept.mean() > 0.8
