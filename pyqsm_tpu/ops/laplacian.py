@@ -1,0 +1,53 @@
+"""Point-cloud Laplacian + mass matrix for contraction.
+
+Replaces ``robust_laplacian.point_cloud_laplacian`` (tufted intrinsic DEC,
+C++ — ``skeletonize.py:253-255``) with a kNN-graph heat-kernel Laplacian and
+a kNN-ball area mass matrix, built from the shared neighbor engine. The
+mollification parameter maps to a weight floor. Accuracy note (SURVEY.md §7
+hard parts): this is a documented approximation of the tufted Laplacian —
+its null space and smoothing behavior match (validated in tests by
+contraction dynamics), not its spectrum.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from pyqsm_tpu.ops.neighbors import knn
+from pyqsm_tpu.ops.sparse import ELLLaplacian
+
+Array = jax.Array
+
+
+@partial(jax.jit, static_argnames=("n_neighbors",))
+def point_cloud_laplacian(
+    points: Array,
+    mask: Array,
+    n_neighbors: int = 20,
+    mollify_factor: float = 1e-6,
+) -> ELLLaplacian:
+    """Build the ELL Laplacian + mass diagonal.
+
+    - edges: kNN (self-match dropped)
+    - weights: Gaussian heat kernel w_ij = exp(-d²/σ_i²), σ_i = mean kNN
+      distance of i, floored at ``mollify_factor`` (mollification analog)
+    - mass: m_i = π·r̄_i² / k — the per-point share of the local ball area,
+      shrinking as the cloud contracts (drives the reference's volume-ratio
+      termination, ``skeletonize.py:349``)
+    """
+    d, idx = knn(points, points, n_neighbors + 1, query_mask=mask, point_mask=mask)
+    d, idx = d[:, 1:], idx[:, 1:]
+    valid = idx >= 0
+    dd = jnp.where(valid, d, 0.0)
+    cnt = jnp.maximum(jnp.sum(valid, axis=1), 1)
+    mean_d = jnp.sum(dd, axis=1) / cnt
+    sigma2 = jnp.maximum(mean_d * mean_d, 1e-12)
+    w = jnp.exp(-(dd * dd) / sigma2[:, None])
+    w = jnp.maximum(w, mollify_factor)
+    w = jnp.where(valid, w, 0.0)
+    deg = jnp.sum(w, axis=1)
+    mass = jnp.where(mask, jnp.pi * mean_d * mean_d, 1e-12)
+    return ELLLaplacian(nbr_idx=idx, w=w, deg=deg, mass=mass)
