@@ -1,0 +1,403 @@
+"""Sphere-following QSM generation.
+
+TPU-native rebuild of ``pyQSM/qsm_generation.py``: the reference's unbounded
+python recursion (``sphere_step``, ref :182-316) becomes an explicit
+**worklist of branch fronts** — each front is a fixed-capacity index block,
+every kernel (RANSAC fit, ball query, branch-split clustering) is jitted with
+static shapes, and the host only orchestrates the queue and scalar policy.
+
+Policy parity with the reference:
+- circle RANSAC on the current front, threshold 0.04, hypothesis radius gate
+  ``last_radius × radius_multiplier`` (ref ``fit_cyl_to_cluster`` :138-179);
+  a fit is *good* when radius < ``bad_fit_radius_factor × last_radius``.
+- ball search from the front centroid, radius = mean-dist × multiplier,
+  clamped to [min_radius, max_radius] (ref ``find_neighbors_in_ball``,
+  ``lib_integration.py:81-137``); already-claimed points excluded.
+- branch split: DBSCAN after a good fit, k-means sweep after a bad one
+  (ref ``choose_and_cluster``, ``fit.py:58-85``); branch ends when fewer
+  than ``min_contained_points`` new points are found.
+- child radius = mean XY radius of the cluster, clamped to
+  [min_radius, max_radius] and to ≥ last_radius/2 (ref :267-272).
+
+``get_stem_pcd`` (ref :71-120) → ``stem_mask``: crop ground +0.5 m, normals,
+keep near-vertical-surface points.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from pyqsm_tpu.config import Config, DBSCANConfig, SphereConfig, StemConfig
+from pyqsm_tpu.ops.cluster import dbscan_from_neighbors, kmeans, silhouette_score
+from pyqsm_tpu.ops.geometry import crop_mask
+from pyqsm_tpu.ops.neighbors import radius_knn
+from pyqsm_tpu.ops.normals import estimate_normals, filter_by_norm
+from pyqsm_tpu.ops.ransac import CylinderFit, fit_cylinder
+from pyqsm_tpu.state import Cylinders
+
+Array = jax.Array
+
+
+def stem_mask(
+    points: Array,
+    mask: Array,
+    cfg: StemConfig | None = None,
+) -> Array:
+    """Near-vertical-surface filter (ref ``get_stem_pcd``): crop ground
+    +0.5 m, estimate normals, keep points whose normals are within
+    ``angle_cutoff`` degrees of horizontal."""
+    if cfg is None:
+        cfg = StemConfig()
+    zmin = jnp.min(jnp.where(mask, points[:, 2], jnp.inf))
+    m = crop_mask(points, mask, minz=zmin + 0.5)
+    normals = estimate_normals(points, m, k=cfg.normals_nn)
+    return filter_by_norm(normals, m, angle_cutoff=cfg.angle_cutoff)
+
+
+# ---------------------------------------------------------------------------
+# jitted per-front kernels (static block size P)
+# ---------------------------------------------------------------------------
+
+
+@partial(jax.jit, static_argnames=("n_hypotheses",))
+def _fit_front(
+    points: Array, fidx: Array, fvalid: Array, key: Array,
+    threshold: float, max_radius: Array, min_radius: float,
+    n_hypotheses: int = 512,
+) -> CylinderFit:
+    block = points[jnp.maximum(fidx, 0)]
+    return fit_cylinder(
+        block, fvalid, key, threshold=threshold,
+        n_hypotheses=n_hypotheses, max_radius=max_radius, min_radius=min_radius,
+    )
+
+
+@partial(jax.jit, static_argnames=("cap",))
+def _ball_new(
+    points: Array, mask: Array, found: Array,
+    fidx: Array, fvalid: Array,
+    radius_multiplier: float, min_radius: float, max_radius: float,
+    last_radius: Array,
+    cap: int,
+) -> tuple[Array, Array, Array, Array]:
+    """Centroid-ball query excluding claimed points. Returns
+    (new_idx [cap], new_valid [cap], center [3], radius)."""
+    block = points[jnp.maximum(fidx, 0)]
+    w = fvalid.astype(points.dtype)[:, None]
+    n_f = jnp.maximum(jnp.sum(w), 1.0)
+    center = jnp.sum(block * w, axis=0) / n_f
+    # reference uses the mean *XY* distance from the centroid (get_radius,
+    # math_utils/general.py:162-171); floored at last_radius so a degraded
+    # arc-shaped front cannot shrink the search ball below branch scale
+    dxy = jnp.sqrt((block[:, 0] - center[0]) ** 2 + (block[:, 1] - center[1]) ** 2)
+    mean_d = jnp.sum(dxy * w[:, 0]) / n_f
+    mean_d = jnp.maximum(mean_d, last_radius)
+    radius = jnp.clip(mean_d * radius_multiplier, min_radius, max_radius)
+
+    d = jnp.linalg.norm(points - center[None, :], axis=-1)
+    cand = mask & ~found & (d <= radius)
+    score = jnp.where(cand, -d, -jnp.inf)
+    top, idx = jax.lax.top_k(score, cap)
+    valid = jnp.isfinite(top)
+    return jnp.where(valid, idx.astype(jnp.int32), -1), valid, center, radius
+
+
+@partial(jax.jit, static_argnames=("min_pts", "cap_nbrs"))
+def _split_dbscan(
+    points: Array, new_idx: Array, new_valid: Array,
+    eps: float, min_pts: int, cap_nbrs: int = 32,
+) -> Array:
+    """DBSCAN within the new-points block; returns labels [cap].
+
+    eps adapts upward to the block's sampling density (2.5× the mean NN
+    distance) so sparse shells don't shatter into arc fragments — the
+    reference's fixed eps=0.1 stalls its walk on sparser clouds."""
+    from pyqsm_tpu.ops.neighbors import knn
+
+    block = points[jnp.maximum(new_idx, 0)]
+    nn_d, _ = knn(block, block, 2, query_mask=new_valid, point_mask=new_valid)
+    nn = jnp.where(jnp.isfinite(nn_d[:, 1]), nn_d[:, 1], 0.0)
+    n_live = jnp.maximum(jnp.sum(new_valid), 1)
+    mean_nn = jnp.sum(jnp.where(new_valid, nn, 0.0)) / n_live
+    eps_eff = jnp.maximum(eps, 2.5 * mean_nn)
+    d, i = knn(block, block, cap_nbrs, query_mask=new_valid, point_mask=new_valid)
+    ok = d <= eps_eff
+    d = jnp.where(ok, d, jnp.inf)
+    i = jnp.where(ok, i, -1)
+    return dbscan_from_neighbors(i, d, new_valid, min_samples=min_pts)
+
+
+@partial(jax.jit, static_argnames=("k",))
+def _split_kmeans(points: Array, new_idx: Array, new_valid: Array, k: int, key: Array):
+    block = points[jnp.maximum(new_idx, 0)]
+    centers, labels = kmeans(block, new_valid, k, key)
+    score = silhouette_score(block, labels, new_valid)
+    return labels, score
+
+
+@jax.jit
+def _cluster_xy_radius(points: Array, idx: Array, sel: Array) -> Array:
+    """Mean XY distance from centroid over selected block rows (ref
+    ``get_radius`` on the cluster, ``qsm_generation.py:262-272``)."""
+    block = points[jnp.maximum(idx, 0)]
+    w = sel.astype(points.dtype)
+    n = jnp.maximum(jnp.sum(w), 1.0)
+    cx = jnp.sum(block[:, 0] * w) / n
+    cy = jnp.sum(block[:, 1] * w) / n
+    d = jnp.sqrt((block[:, 0] - cx) ** 2 + (block[:, 1] - cy) ** 2)
+    return jnp.sum(d * w) / n
+
+
+# ---------------------------------------------------------------------------
+# worklist orchestration
+# ---------------------------------------------------------------------------
+
+
+class Front(NamedTuple):
+    idx: Array  # [P] i32
+    valid: Array  # [P] bool
+    last_radius: float
+    branch_order: int
+    parent: int  # cylinder id of parent (-1 root)
+
+
+class QSMResult(NamedTuple):
+    cylinders: Cylinders
+    found: Array  # [N] bool — points claimed by the QSM walk
+    branch_order: Array  # [N] i32 per point (-1 unclaimed)
+    n_steps: int
+
+
+def sphere_following_qsm(
+    points: Array,
+    mask: Array,
+    seed_idx: Array,  # [P] i32 initial front (e.g. trunk-base cluster rows)
+    seed_valid: Array,
+    initial_radius: float,
+    sphere: SphereConfig | None = None,
+    dbscan_cfg: DBSCANConfig | None = None,
+    block_size: int = 1024,
+    max_steps: int = 512,
+    max_cylinders: int = 2048,
+    seed: int = 0,
+) -> QSMResult:
+    """Run the sphere-following walk from a seed front until exhaustion."""
+    if sphere is None:
+        sphere = SphereConfig()
+    if dbscan_cfg is None:
+        dbscan_cfg = DBSCANConfig()
+    n = points.shape[0]
+    p = block_size
+    key = jax.random.PRNGKey(seed)
+
+    def pad_front(idx_arr: np.ndarray) -> tuple[Array, Array]:
+        k = min(len(idx_arr), p)
+        out = np.full(p, -1, np.int32)
+        out[:k] = np.asarray(idx_arr[:k], np.int32)
+        return jnp.asarray(out), jnp.asarray(out >= 0)
+
+    found = jnp.zeros(n, dtype=bool)
+    found = found.at[jnp.maximum(seed_idx, 0)].set(seed_valid)
+    branch_order = jnp.full(n, -1, jnp.int32)
+    branch_order = branch_order.at[jnp.maximum(seed_idx, 0)].set(
+        jnp.where(seed_valid, 0, -1)
+    )
+
+    queue: list[Front] = [Front(seed_idx, seed_valid, float(initial_radius), 0, -1)]
+    cyls: list[dict] = []
+    steps = 0
+
+    while queue and steps < max_steps and len(cyls) < max_cylinders:
+        steps += 1
+        front = queue.pop(0)
+        key, k_fit, k_km = jax.random.split(key, 3)
+
+        fit = _fit_front(
+            points, front.idx, front.valid, k_fit,
+            threshold=0.04,
+            max_radius=jnp.asarray(front.last_radius * sphere.radius_multiplier),
+            min_radius=sphere.min_radius,
+        )
+        n_front = int(jnp.sum(front.valid))
+        good_fit = (
+            bool(fit.ok)
+            and float(fit.radius) < sphere.bad_fit_radius_factor * front.last_radius
+            and int(fit.n_inliers) >= max(sphere.min_contained_points, int(0.25 * n_front))
+        )
+        if good_fit:
+            cyls.append(
+                dict(
+                    center=np.asarray(fit.center),
+                    axis=np.asarray(fit.axis),
+                    height=float(fit.height),
+                    radius=float(fit.radius),
+                    branch_order=front.branch_order,
+                    parent=front.parent,
+                )
+            )
+        cyl_id = len(cyls) - 1 if good_fit else front.parent
+
+        new_idx, new_valid, center, ball_r = _ball_new(
+            points, mask, found, front.idx, front.valid,
+            sphere.radius_multiplier, sphere.min_radius, sphere.max_radius,
+            jnp.asarray(front.last_radius), cap=p,
+        )
+        n_new = int(jnp.sum(new_valid))
+        if n_new < sphere.min_contained_points:
+            continue
+        found = found.at[jnp.maximum(new_idx, 0)].set(
+            new_valid | found[jnp.maximum(new_idx, 0)]
+        )
+
+        # branch split: DBSCAN after good fit, k-means sweep after bad fit
+        if good_fit:
+            labels = _split_dbscan(points, new_idx, new_valid,
+                                   eps=dbscan_cfg.epsilon,
+                                   min_pts=dbscan_cfg.min_neighbors)
+        else:
+            best_labels, best_score, best_k = None, -1.0, 1
+            for k_try in (2, 3, 4):
+                lab, score = _split_kmeans(points, new_idx, new_valid, k_try, k_km)
+                if float(score) > best_score:
+                    best_labels, best_score, best_k = lab, float(score), k_try
+            if best_score > 0.4:
+                labels = best_labels
+            else:
+                labels = _split_dbscan(points, new_idx, new_valid,
+                                       eps=dbscan_cfg.epsilon,
+                                       min_pts=dbscan_cfg.min_neighbors)
+
+        lab_np = np.asarray(labels)
+        idx_np = np.asarray(new_idx)
+        # merge clusters whose centroids are within branch scale of each
+        # other: arc fragments of one ring are one branch, not a bifurcation
+        lab_np = _merge_close_clusters(
+            np.asarray(points[jnp.maximum(new_idx, 0)]), lab_np,
+            merge_dist=max(2.2 * front.last_radius, 0.15),
+        )
+        usable = [
+            lab for lab in np.unique(lab_np[lab_np >= 0])
+            if (lab_np == lab).sum() >= sphere.min_contained_points
+        ]
+        if not usable:
+            # fragmentation fallback: advance with the whole new set as one
+            # front rather than stalling the branch
+            lab_np = np.where(np.asarray(new_valid), 0, -1)
+            usable = [0]
+        for li, lab in enumerate(usable):
+            sel = lab_np == lab
+            rows = idx_np[sel]
+            if len(rows) < sphere.min_contained_points:
+                continue
+            sel_j = jnp.asarray(sel)
+            cr = float(_cluster_xy_radius(points, new_idx, sel_j))
+            cr = min(max(cr, sphere.min_radius), sphere.max_radius)
+            cr = max(cr, front.last_radius / 2.0)
+            child_order = front.branch_order + (1 if li > 0 else 0)
+            branch_order = branch_order.at[jnp.asarray(rows)].set(child_order)
+            fidx, fvalid = pad_front(rows)
+            queue.append(Front(fidx, fvalid, cr, child_order, cyl_id))
+
+    return QSMResult(_pack_cylinders(cyls, max_cylinders), found, branch_order, steps)
+
+
+def _merge_close_clusters(
+    block: np.ndarray, labels: np.ndarray, merge_dist: float
+) -> np.ndarray:
+    """Union clusters whose centroids are closer than ``merge_dist`` (host
+    side; cluster counts here are tiny)."""
+    ids = np.unique(labels[labels >= 0])
+    if len(ids) <= 1:
+        return labels
+    cents = np.stack([block[labels == i].mean(axis=0) for i in ids])
+    parent = {int(i): int(i) for i in ids}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a in range(len(ids)):
+        for b in range(a + 1, len(ids)):
+            if np.linalg.norm(cents[a] - cents[b]) < merge_dist:
+                ra, rb = find(int(ids[a])), find(int(ids[b]))
+                if ra != rb:
+                    parent[max(ra, rb)] = min(ra, rb)
+    out = labels.copy()
+    for i in ids:
+        out[labels == i] = find(int(i))
+    return out
+
+
+def _pack_cylinders(cyls: list[dict], capacity: int) -> Cylinders:
+    m = len(cyls)
+    cap = max(capacity, m, 1)
+    center = np.zeros((cap, 3), np.float32)
+    axis = np.zeros((cap, 3), np.float32)
+    height = np.zeros(cap, np.float32)
+    radius = np.zeros(cap, np.float32)
+    order = np.zeros(cap, np.int32)
+    parent = np.full(cap, -1, np.int32)
+    for i, c in enumerate(cyls):
+        center[i] = c["center"]
+        axis[i] = c["axis"]
+        height[i] = c["height"]
+        radius[i] = c["radius"]
+        order[i] = c["branch_order"]
+        parent[i] = c["parent"]
+    mask = np.arange(cap) < m
+    return Cylinders(
+        center=jnp.asarray(center), axis=jnp.asarray(axis),
+        height=jnp.asarray(height), radius=jnp.asarray(radius),
+        branch_order=jnp.asarray(order), parent=jnp.asarray(parent),
+        mask=jnp.asarray(mask),
+    )
+
+
+def generate_qsm(
+    points: Array,
+    mask: Array,
+    cfg: Config | None = None,
+    block_size: int = 1024,
+    max_steps: int = 512,
+    seed: int = 0,
+) -> QSMResult:
+    """Staged single-tree QSM (ref ``find_low_order_branches``,
+    ``qsm_generation.py:319-502``): stem filter → trunk-base percentile crop
+    + largest cluster → seed front → sphere-following walk."""
+    from pyqsm_tpu.ops.cluster import largest_cluster_mask
+    from pyqsm_tpu.ops.geometry import percentile_mask
+
+    if cfg is None:
+        cfg = Config()
+    stem = stem_mask(points, mask, cfg.stem)
+    # fall back to the full cloud if the stem filter is degenerate
+    if int(jnp.sum(stem)) < cfg.sphere.min_contained_points:
+        stem = mask
+
+    z = points[:, 2]
+    low = percentile_mask(z, stem, cfg.trunk.lower_pctile, cfg.trunk.upper_pctile)
+    _, trunk = largest_cluster_mask(
+        points, low, eps=cfg.trunk.cluster_eps,
+        min_samples=cfg.trunk.cluster_nn, neighbor_cap=64,
+    )
+    rows = np.flatnonzero(np.asarray(trunk))
+    if len(rows) == 0:
+        rows = np.flatnonzero(np.asarray(stem))[:block_size]
+    seed_idx = np.full(block_size, -1, np.int32)
+    seed_idx[: min(len(rows), block_size)] = rows[:block_size]
+    seed_valid = jnp.asarray(seed_idx >= 0)
+    init_r = float(_cluster_xy_radius(points, jnp.asarray(seed_idx), seed_valid))
+    init_r = min(max(init_r, cfg.sphere.min_radius), cfg.sphere.max_radius)
+
+    return sphere_following_qsm(
+        points, stem, jnp.asarray(seed_idx), seed_valid, init_r,
+        sphere=cfg.sphere, dbscan_cfg=cfg.dbscan,
+        block_size=block_size, max_steps=max_steps, seed=seed,
+    )

@@ -107,16 +107,18 @@ def ransac_circle_2d(
 
 
 @jax.jit
-def principal_axis(points: Array, mask: Array) -> Array:
-    """Largest-eigenvector direction of the cluster (sign: +z hemisphere)."""
+def principal_axis(points: Array, mask: Array) -> tuple[Array, Array]:
+    """Largest-eigenvector direction of the cluster (sign: +z hemisphere)
+    and the elongation ratio e_max / e_mid (1 = isotropic disc/ball)."""
     w = mask.astype(points.dtype)[:, None]
     n = jnp.maximum(jnp.sum(w), 1.0)
     mean = jnp.sum(points * w, axis=0) / n
     centered = (points - mean) * w
     cov = centered.T @ centered / n
-    _, vecs = sym_eig3(cov)
+    vals, vecs = sym_eig3(cov)
     axis = vecs[:, 2]
-    return axis * jnp.where(axis[2] < 0, -1.0, 1.0)
+    elong = vals[2] / jnp.maximum(vals[1], 1e-20)
+    return axis * jnp.where(axis[2] < 0, -1.0, 1.0), elong
 
 
 @partial(jax.jit, static_argnames=("n_hypotheses", "align_axis"))
@@ -128,14 +130,28 @@ def fit_cylinder(
     n_hypotheses: int = 1024,
     max_radius: float = jnp.inf,
     min_radius: float = 0.0,
-    align_axis: bool = True,
+    align_axis: str = "auto",
 ) -> CylinderFit:
     """Cylinder via axis-align-then-circle (the reference's
     ``z_align_and_fit`` + ``fit_shape_RANSAC('circle')`` route,
-    ``fit.py:23-45,253-339``): rotate so the principal axis is +z (or use +z
-    directly when ``align_axis=False``, matching the z-flatten branch at
-    ``fit.py:274-277``), RANSAC-fit the projected circle, lift back to 3D."""
-    axis = jnp.where(align_axis, principal_axis(points, mask), jnp.array([0.0, 0.0, 1.0]))
+    ``fit.py:23-45,253-339``): rotate so the estimated axis is +z, RANSAC-fit
+    the projected circle, lift back to 3D.
+
+    ``align_axis``: 'pca' rotates by the principal axis, 'z' z-flattens
+    directly (the reference's circle branch, ``fit.py:274-277``), 'auto'
+    uses PCA only when the cluster is clearly elongated (a short trunk slab's
+    principal axis lies in the ring plane and would wreck the fit).
+    """
+    pax, elong = principal_axis(points, mask)
+    zhat = jnp.array([0.0, 0.0, 1.0], points.dtype)
+    if align_axis == "pca":
+        axis = pax
+    elif align_axis == "z":
+        axis = zhat
+    elif align_axis == "auto":
+        axis = jnp.where(elong > 4.0, pax, zhat)
+    else:
+        raise ValueError(align_axis)
     axis = axis / jnp.maximum(jnp.linalg.norm(axis), 1e-12)
     R = rotation_matrix_from_vectors(axis, jnp.array([0.0, 0.0, 1.0], points.dtype))
     rot = points @ R.T

@@ -1,0 +1,95 @@
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from pyqsm_tpu.config import IsolationConfig
+from pyqsm_tpu.models.isolation import build_trees, id_trunk_bases, region_grow
+from pyqsm_tpu.ops.neighbors import radius_knn
+
+
+def two_tree_plot(rng, n_per=4000):
+    """Two synthetic trees (dense vertical trunks + blobby canopies), 8 m apart."""
+    def tree(cx, cy):
+        z = rng.uniform(0, 6, n_per)
+        th = rng.uniform(0, 2 * np.pi, n_per)
+        r = 0.25 + rng.normal(0, 0.01, n_per)
+        trunk = np.stack([cx + r * np.cos(th), cy + r * np.sin(th), z], 1)
+        canopy = rng.normal([cx, cy, 7.0], [1.5, 1.5, 1.0], size=(n_per // 2, 3))
+        return np.concatenate([trunk, canopy])
+    pts = np.concatenate([tree(0, 0), tree(8, 0)]).astype(np.float32)
+    return pts
+
+
+def test_id_trunk_bases_finds_two(rng):
+    pts = two_tree_plot(rng)
+    mask = jnp.ones(len(pts), bool)
+    cfg = IsolationConfig(base_min_points=50, low_pctile=5.0)
+    labels, low, high = id_trunk_bases(jnp.asarray(pts), mask, cfg)
+    lab = np.asarray(labels)
+    live = lab[lab >= 0]
+    assert len(np.unique(live)) == 2
+    # the two seed clusters sit under different trees
+    seeds0 = pts[lab == 0]
+    seeds1 = pts[lab == 1]
+    assert abs(seeds0[:, 0].mean() - seeds1[:, 0].mean()) > 5
+
+
+def test_region_grow_on_chain():
+    # linear chain of points 0.05 apart; two seeds at the two ends
+    n = 100
+    pts = np.stack([np.arange(n) * 0.05, np.zeros(n), np.zeros(n)], 1).astype(np.float32)
+    mask = jnp.ones(n, bool)
+    d, idx = radius_knn(jnp.asarray(pts), jnp.asarray(pts), radius=0.06, k=4)
+    seeds = np.full(n, -1, np.int32)
+    seeds[0] = 0
+    seeds[n - 1] = 1
+    res = region_grow(idx, jnp.asarray(seeds), mask, max_cycles=200, min_frontier=1)
+    lab = np.asarray(res.labels)
+    assert (lab >= 0).all()
+    # each seed claims roughly half; tie in the middle goes to cluster 0
+    assert (lab[:45] == 0).all() and (lab[55:] == 1).all()
+    order = np.asarray(res.order)
+    assert order[0] == 0 and order[1] == 1 and order[2] == 2  # growth order recorded
+
+
+def test_region_grow_min_frontier_retires():
+    # single chain, one seed: frontier adds 1 point/cycle -> retires immediately
+    n = 50
+    pts = np.stack([np.arange(n) * 0.05, np.zeros(n), np.zeros(n)], 1).astype(np.float32)
+    d, idx = radius_knn(jnp.asarray(pts), jnp.asarray(pts), radius=0.06, k=4)
+    seeds = np.full(n, -1, np.int32)
+    seeds[0] = 0
+    res = region_grow(idx, jnp.asarray(seeds), jnp.ones(n, bool),
+                      max_cycles=200, min_frontier=3)
+    lab = np.asarray(res.labels)
+    # chain adds <3 new points per cycle -> cluster retired after first cycle
+    assert (lab >= 0).sum() <= 5
+
+
+def test_build_trees_separates_two_trees(rng):
+    pts = two_tree_plot(rng)
+    mask = jnp.ones(len(pts), bool)
+    cfg = IsolationConfig(base_min_points=50, low_pctile=5.0, max_dist=0.35,
+                          cycles=300, min_frontier=2)
+    res = build_trees(jnp.asarray(pts), mask, cfg, neighbor_cap=16)
+    lab = np.asarray(res.labels)
+    n_per = 4000 + 2000
+    t0, t1 = lab[:n_per], lab[n_per:]
+    # trunks (dense) should be claimed nearly completely and purely
+    t0_trunk = t0[:4000]; t1_trunk = t1[:4000]
+    claimed0 = t0_trunk[t0_trunk >= 0]; claimed1 = t1_trunk[t1_trunk >= 0]
+    assert len(claimed0) > 3000 and len(claimed1) > 3000
+    assert (claimed0 == claimed0[0]).mean() > 0.99
+    assert (claimed1 == claimed1[0]).mean() > 0.99
+    assert claimed0[0] != claimed1[0]
+
+
+def test_exclude_regions(rng):
+    pts = two_tree_plot(rng)
+    mask = jnp.ones(len(pts), bool)
+    cfg = IsolationConfig(base_min_points=50, low_pctile=5.0)
+    # exclude the second tree's footprint ("building")
+    region = [[6.0, -3.0], [10.0, 3.0]]
+    labels, low, high = id_trunk_bases(jnp.asarray(pts), mask, cfg, [region])
+    lab = np.asarray(labels)
+    assert len(np.unique(lab[lab >= 0])) == 1
