@@ -1,0 +1,127 @@
+"""Environmental ray-casting simulation workflows.
+
+The L4 simulation layer of the reference (``viz/ray_casting.py``): exposed
+surface areas from camera or sun bundles, swept sun angles (the
+sunlight/rain exposure study of ``data/notes/methods.md``), hit-point cloud
+extraction, and signed-distance slabs — built on the ``ops.raytrace`` engine
+and ``ops.mesh`` constructors.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from pyqsm_tpu.config import RaycastConfig
+from pyqsm_tpu.ops.mesh import TriMesh
+from pyqsm_tpu.ops.raytrace import (
+    Hits, cast_rays, exposed_surface_area, hit_points, occupancy,
+    parallel_rays, pinhole_rays, unsigned_distance,
+)
+
+Array = jax.Array
+
+
+class ExposureResult(NamedTuple):
+    hits: Hits
+    surface_area_3d: float
+    surface_area_2d: float
+    hit_fraction: float
+
+
+def cast_scene(
+    mesh: TriMesh,
+    eye: Array | None = None,
+    center: Array | None = None,
+    cfg: RaycastConfig | None = None,
+) -> ExposureResult:
+    """Pinhole cast + exposed-surface-area metrics (ref ``cast_rays``,
+    ray_casting.py:262-313: eye defaults to center + 10z)."""
+    if cfg is None:
+        cfg = RaycastConfig()
+    v = mesh.vertices
+    if center is None:
+        center = jnp.mean(v, axis=0)
+    if eye is None:
+        eye = center + jnp.array([0.0, 0.0, 10.0])
+    origins, dirs = pinhole_rays(eye, center, jnp.array([0.0, 1.0, 0.0]),
+                                 cfg.fov_deg, cfg.width_px, cfg.height_px)
+    hits = cast_rays(origins, dirs, mesh.vertices, mesh.triangles)
+    a3, a2 = exposed_surface_area(hits, mesh.vertices, mesh.triangles)
+    frac = float(jnp.mean((hits.tri >= 0).astype(jnp.float32)))
+    return ExposureResult(hits, float(a3), float(a2), frac)
+
+
+def sun_exposure(
+    mesh: TriMesh,
+    azimuth_deg: float = 0.0,
+    elevation_deg: float = 90.0,
+    nx: int = 256,
+    ny: int = 256,
+) -> ExposureResult:
+    """Parallel-ray (sun/rain) exposure from a given sun angle
+    (the nadir bundle of ``sparse_cast_w_intersections`` generalised to
+    swept angles — BASELINE config 5)."""
+    az = np.radians(azimuth_deg)
+    el = np.radians(elevation_deg)
+    direction = -jnp.asarray([
+        np.cos(el) * np.cos(az), np.cos(el) * np.sin(az), np.sin(el),
+    ], dtype=jnp.float32)
+    v = np.asarray(mesh.vertices)
+    lo, hi = v.min(0), v.max(0)
+    origins, dirs = parallel_rays(lo, hi, direction, nx, ny, z_offset=1.0)
+    hits = cast_rays(origins, dirs, mesh.vertices, mesh.triangles)
+    a3, a2 = exposed_surface_area(hits, mesh.vertices, mesh.triangles)
+    frac = float(jnp.mean((hits.tri >= 0).astype(jnp.float32)))
+    return ExposureResult(hits, float(a3), float(a2), frac)
+
+
+def sun_sweep(
+    mesh: TriMesh,
+    elevations: tuple[float, ...] = (30.0, 45.0, 60.0, 75.0, 90.0),
+    azimuth_deg: float = 180.0,
+    nx: int = 256,
+    ny: int = 256,
+) -> dict[float, ExposureResult]:
+    """Swept sun-angle exposure table (methods.md 'Raycasting Projection')."""
+    return {
+        el: sun_exposure(mesh, azimuth_deg, el, nx, ny) for el in elevations
+    }
+
+
+def raycast_to_pcd(mesh: TriMesh, hits: Hits) -> Array:
+    """Hit-point cloud (ref ``raycast_to_pcd``, ray_casting.py:315-330):
+    NaN rows = misses."""
+    return hit_points(hits, mesh.vertices, mesh.triangles)
+
+
+def mri_slices(
+    mesh: TriMesh,
+    axis: int = 2,
+    n_slices: int = 8,
+    resolution: int = 64,
+) -> Array:
+    """Signed-distance slabs through the mesh (ref ``mri``,
+    ray_casting.py:237-260). Returns [n_slices, res, res] signed distances."""
+    v = np.asarray(mesh.vertices)
+    lo, hi = v.min(0), v.max(0)
+    other = [i for i in range(3) if i != axis]
+    slabs = np.linspace(lo[axis], hi[axis], n_slices)
+    xs = np.linspace(lo[other[0]], hi[other[0]], resolution)
+    ys = np.linspace(lo[other[1]], hi[other[1]], resolution)
+    gx, gy = np.meshgrid(xs, ys, indexing="xy")
+    out = []
+    for s in slabs:
+        pts = np.zeros((resolution * resolution, 3), np.float32)
+        pts[:, other[0]] = gx.ravel()
+        pts[:, other[1]] = gy.ravel()
+        pts[:, axis] = s
+        p = jnp.asarray(pts)
+        d = unsigned_distance(p, mesh.vertices, mesh.triangles)
+        inside = occupancy(p, mesh.vertices, mesh.triangles)
+        sd = jnp.where(inside, -d, d)
+        out.append(np.asarray(sd).reshape(resolution, resolution))
+    return jnp.asarray(np.stack(out))

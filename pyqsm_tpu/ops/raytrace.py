@@ -1,0 +1,324 @@
+"""Ray–triangle intersection engine.
+
+TPU-native replacement for Open3D's Embree ``RaycastingScene``
+(``viz/ray_casting.py:65-71,218-313``): vectorized Möller–Trumbore over
+(ray-tile × triangle-tile) blocks with a running closest-hit reduction —
+rays stream through a ``lax.scan`` so memory stays O(ray_tile × tri_tile)
+regardless of scene size. The same kernel serves closest-hit casting,
+any-hit counting (occupancy via crossing parity, replacing
+``compute_occupancy``), and unsigned/signed distance fields (the "MRI"
+slices of ``ray_casting.py:237-260``).
+
+Acceleration note: this is the exact-but-brute path (fine to ~10⁴ triangles
+per scene at 10⁶+ rays); the LBVH/Pallas traversal planned in SURVEY.md §7
+slots in behind the same ``cast_rays`` signature.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+Array = jax.Array
+
+_EPS = 1e-9
+
+
+class Hits(NamedTuple):
+    t: Array  # [R] hit distance (inf = miss)
+    tri: Array  # [R] i32 triangle id (-1 = miss)
+    uv: Array  # [R, 2] barycentric (u, v) at hit
+    count: Array  # [R] i32 number of intersections along the ray (any-hit)
+
+
+def _pad_rows(x, multiple, fill):
+    n = x.shape[0]
+    rem = (-n) % multiple
+    if rem == 0:
+        return x
+    pad = [(0, rem)] + [(0, 0)] * (x.ndim - 1)
+    return jnp.pad(x, pad, constant_values=fill)
+
+
+def _moller_trumbore(
+    origins: Array,  # [R, 3]
+    dirs: Array,  # [R, 3]
+    v0: Array, e1: Array, e2: Array,  # [T, 3] triangle origin + edges
+    valid_tri: Array,  # [T]
+) -> tuple[Array, Array, Array]:
+    """All-pairs intersection of a ray tile against a triangle tile.
+    Returns (t [R,T], u [R,T], v [R,T]); misses have t = inf."""
+    # pvec = dir × e2 : [R, T, 3]
+    pvec = jnp.cross(dirs[:, None, :], e2[None, :, :])
+    det = jnp.einsum("tc,rtc->rt", e1, pvec)
+    inv_det = jnp.where(jnp.abs(det) > _EPS, 1.0 / det, 0.0)
+    tvec = origins[:, None, :] - v0[None, :, :]
+    u = jnp.einsum("rtc,rtc->rt", tvec, pvec) * inv_det
+    qvec = jnp.cross(tvec, e1[None, :, :])
+    v = jnp.einsum("rc,rtc->rt", dirs, qvec) * inv_det
+    t = jnp.einsum("tc,rtc->rt", e2, qvec) * inv_det
+    hit = (
+        (jnp.abs(det) > _EPS)
+        & (u >= -_EPS) & (v >= -_EPS) & (u + v <= 1.0 + _EPS)
+        & (t > 1e-6)
+        & valid_tri[None, :]
+    )
+    return jnp.where(hit, t, jnp.inf), u, v
+
+
+@partial(jax.jit, static_argnames=("ray_tile", "tri_tile"))
+def cast_rays(
+    origins: Array,  # [R, 3]
+    dirs: Array,  # [R, 3] (need not be normalised; t is in dir units)
+    vertices: Array,  # [V, 3]
+    triangles: Array,  # [T, 3] i32 (-1 rows = padding)
+    ray_tile: int = 2048,
+    tri_tile: int = 1024,
+) -> Hits:
+    """Closest-hit + any-hit-count casting (Embree ``cast_rays`` +
+    ``list_intersections`` capabilities in one pass)."""
+    r = origins.shape[0]
+    tri_valid = triangles[:, 0] >= 0
+    tri = jnp.maximum(triangles, 0)
+    v0 = vertices[tri[:, 0]]
+    e1 = vertices[tri[:, 1]] - v0
+    e2 = vertices[tri[:, 2]] - v0
+
+    v0p = _pad_rows(v0, tri_tile, 0.0)
+    e1p = _pad_rows(e1, tri_tile, 0.0)
+    e2p = _pad_rows(e2, tri_tile, 0.0)
+    validp = _pad_rows(tri_valid, tri_tile, False)
+    nt = v0p.shape[0] // tri_tile
+    v0t = v0p.reshape(nt, tri_tile, 3)
+    e1t = e1p.reshape(nt, tri_tile, 3)
+    e2t = e2p.reshape(nt, tri_tile, 3)
+    vt = validp.reshape(nt, tri_tile)
+
+    o = _pad_rows(origins, ray_tile, 0.0).reshape(-1, ray_tile, 3)
+    d = _pad_rows(dirs, ray_tile, 0.0).reshape(-1, ray_tile, 3)
+
+    tri_ids = jnp.arange(nt * tri_tile, dtype=jnp.int32).reshape(nt, tri_tile)
+
+    def per_ray_tile(od):
+        ot, dt = od
+
+        def step(carry, tile):
+            best_t, best_id, best_uv, cnt = carry
+            v0_, e1_, e2_, valid_, ids_ = tile
+            t, u, v = _moller_trumbore(ot, dt, v0_, e1_, e2_, valid_)
+            cnt = cnt + jnp.sum(jnp.isfinite(t), axis=1).astype(jnp.int32)
+            jmin = jnp.argmin(t, axis=1)
+            tmin = jnp.take_along_axis(t, jmin[:, None], 1)[:, 0]
+            better = tmin < best_t
+            best_id = jnp.where(better, ids_[jmin], best_id)
+            uv = jnp.stack(
+                [jnp.take_along_axis(u, jmin[:, None], 1)[:, 0],
+                 jnp.take_along_axis(v, jmin[:, None], 1)[:, 0]], axis=1,
+            )
+            best_uv = jnp.where(better[:, None], uv, best_uv)
+            best_t = jnp.minimum(best_t, tmin)
+            return (best_t, best_id, best_uv, cnt), None
+
+        init = (
+            jnp.full(ray_tile, jnp.inf),
+            jnp.full(ray_tile, -1, jnp.int32),
+            jnp.zeros((ray_tile, 2)),
+            jnp.zeros(ray_tile, jnp.int32),
+        )
+        (bt, bi, buv, cnt), _ = jax.lax.scan(step, init, (v0t, e1t, e2t, vt, tri_ids))
+        return bt, bi, buv, cnt
+
+    bt, bi, buv, cnt = jax.lax.map(per_ray_tile, (o, d))
+    return Hits(
+        t=bt.reshape(-1)[:r],
+        tri=bi.reshape(-1)[:r],
+        uv=buv.reshape(-1, 2)[:r],
+        count=cnt.reshape(-1)[:r],
+    )
+
+
+# ---------------------------------------------------------------------------
+# ray generators (ray_casting.py:45-47 pinhole; :159-165 nadir grid)
+# ---------------------------------------------------------------------------
+
+
+def pinhole_rays(
+    eye: Array, center: Array, up: Array,
+    fov_deg: float, width_px: int, height_px: int,
+) -> tuple[Array, Array]:
+    """Pinhole camera ray bundle (Open3D ``create_rays_pinhole`` semantics)."""
+    eye = jnp.asarray(eye, jnp.float32)
+    center = jnp.asarray(center, jnp.float32)
+    up = jnp.asarray(up, jnp.float32)
+    fwd = center - eye
+    fwd = fwd / jnp.maximum(jnp.linalg.norm(fwd), 1e-12)
+    right = jnp.cross(fwd, up)
+    right = right / jnp.maximum(jnp.linalg.norm(right), 1e-12)
+    true_up = jnp.cross(right, fwd)
+    half = jnp.tan(jnp.radians(fov_deg) / 2.0)
+    aspect = width_px / height_px
+    xs = (jnp.arange(width_px) + 0.5) / width_px * 2.0 - 1.0
+    ys = 1.0 - (jnp.arange(height_px) + 0.5) / height_px * 2.0
+    gx, gy = jnp.meshgrid(xs, ys, indexing="xy")
+    dirs = (
+        fwd[None, None, :]
+        + gx[..., None] * half * aspect * right[None, None, :]
+        + gy[..., None] * half * true_up[None, None, :]
+    ).reshape(-1, 3)
+    dirs = dirs / jnp.linalg.norm(dirs, axis=-1, keepdims=True)
+    origins = jnp.broadcast_to(eye, dirs.shape)
+    return origins, dirs
+
+
+def parallel_rays(
+    lo: Array, hi: Array, direction: Array,
+    nx: int, ny: int, z_offset: float = 1.0,
+) -> tuple[Array, Array]:
+    """Grid of parallel rays covering the AABB from any direction (the
+    nadir sun/rain bundle of ``sparse_cast_w_intersections``,
+    ray_casting.py:159-165, generalised to tilted sun angles): the grid is
+    laid out on a plane *perpendicular to the direction*, sized to the
+    scene's bounding sphere, and offset backwards so every ray starts
+    outside the scene. Per-ray swept cell area = (2R/nx)·(2R/ny)."""
+    lo = jnp.asarray(lo, jnp.float32)
+    hi = jnp.asarray(hi, jnp.float32)
+    direction = jnp.asarray(direction, jnp.float32)
+    d = direction / jnp.maximum(jnp.linalg.norm(direction), 1e-12)
+    center = (lo + hi) / 2.0
+    radius = jnp.linalg.norm(hi - lo) / 2.0 + 1e-3
+    ref = jnp.where(jnp.abs(d[2]) < 0.9,
+                    jnp.array([0.0, 0.0, 1.0]), jnp.array([1.0, 0.0, 0.0]))
+    u = jnp.cross(d, ref)
+    u = u / jnp.maximum(jnp.linalg.norm(u), 1e-12)
+    v = jnp.cross(d, u)
+    xs = jnp.linspace(-1.0, 1.0, nx) * radius
+    ys = jnp.linspace(-1.0, 1.0, ny) * radius
+    gx, gy = jnp.meshgrid(xs, ys, indexing="xy")
+    base = center - d * (radius + z_offset)
+    origins = (
+        base[None, None, :]
+        + gx[..., None] * u[None, None, :]
+        + gy[..., None] * v[None, None, :]
+    ).reshape(-1, 3)
+    dirs = jnp.broadcast_to(d, origins.shape)
+    return origins, dirs
+
+
+# ---------------------------------------------------------------------------
+# derived queries
+# ---------------------------------------------------------------------------
+
+
+@partial(jax.jit, static_argnames=("ray_tile", "tri_tile"))
+def occupancy(
+    points: Array, vertices: Array, triangles: Array,
+    ray_tile: int = 2048, tri_tile: int = 1024,
+) -> Array:
+    """Inside/outside test by +z crossing parity (replaces
+    ``scene.compute_occupancy``, ray_casting.py:69). The direction is
+    slightly off-axis so rays don't align with shared triangle edges (an
+    edge hit is counted by both adjacent triangles and would flip parity)."""
+    dirs = jnp.broadcast_to(
+        jnp.array([1.73205e-4, 2.23607e-4, 1.0]), points.shape
+    )
+    hits = cast_rays(points, dirs, vertices, triangles,
+                     ray_tile=ray_tile, tri_tile=tri_tile)
+    return (hits.count % 2) == 1
+
+
+def hit_points(hits: Hits, vertices: Array, triangles: Array) -> Array:
+    """Barycentric reconstruction of hit locations (ray_casting.py:171-180)."""
+    tri = jnp.maximum(triangles, 0)
+    t0 = vertices[tri[:, 0]]
+    t1 = vertices[tri[:, 1]]
+    t2 = vertices[tri[:, 2]]
+    tid = jnp.maximum(hits.tri, 0)
+    u = hits.uv[:, 0:1]
+    v = hits.uv[:, 1:2]
+    p = (1 - u - v) * t0[tid] + u * t1[tid] + v * t2[tid]
+    return jnp.where((hits.tri >= 0)[:, None], p, jnp.nan)
+
+
+@jax.jit
+def triangle_areas(vertices: Array, triangles: Array, flatten_z: bool = False) -> Array:
+    """Per-triangle area; ``flatten_z`` projects to z=0 first (the 2D
+    surface-area variant of ``cast_rays``, ray_casting.py:297-302)."""
+    tri = jnp.maximum(triangles, 0)
+    valid = triangles[:, 0] >= 0
+    a = vertices[tri[:, 0]]
+    b = vertices[tri[:, 1]]
+    c = vertices[tri[:, 2]]
+    if_flat = jnp.array([1.0, 1.0, 0.0])
+    scale = jnp.where(flatten_z, if_flat, jnp.ones(3))
+    e1 = (b - a) * scale
+    e2 = (c - a) * scale
+    area = 0.5 * jnp.linalg.norm(jnp.cross(e1, e2), axis=-1)
+    return jnp.where(valid, area, 0.0)
+
+
+def exposed_surface_area(
+    hits: Hits, vertices: Array, triangles: Array
+) -> tuple[Array, Array]:
+    """(3D, z-flattened 2D) surface area of the set of triangles hit by any
+    ray (the exposed-canopy metric of ``cast_rays``, ray_casting.py:287-302)."""
+    t = triangles.shape[0]
+    tid = jnp.where(hits.tri >= 0, hits.tri, t)  # out-of-range rows dropped
+    hit_mask = jnp.zeros(t, dtype=bool).at[tid].max(
+        hits.tri >= 0, mode="drop"
+    )
+    a3 = triangle_areas(vertices, triangles, flatten_z=False)
+    a2 = triangle_areas(vertices, triangles, flatten_z=True)
+    return jnp.sum(jnp.where(hit_mask, a3, 0.0)), jnp.sum(jnp.where(hit_mask, a2, 0.0))
+
+
+@partial(jax.jit, static_argnames=("tri_tile",))
+def unsigned_distance(
+    points: Array, vertices: Array, triangles: Array, tri_tile: int = 1024
+) -> Array:
+    """Distance to the closest triangle (the signed-distance 'MRI' slices,
+    ray_casting.py:237-260; sign available via ``occupancy``)."""
+    tri = jnp.maximum(triangles, 0)
+    valid = triangles[:, 0] >= 0
+    a = vertices[tri[:, 0]]
+    b = vertices[tri[:, 1]]
+    c = vertices[tri[:, 2]]
+
+    def seg_dist2(p, s0, s1):
+        e = s1 - s0
+        t = jnp.sum((p[None, :] - s0) * e, -1) / jnp.maximum(jnp.sum(e * e, -1), 1e-20)
+        t = jnp.clip(t, 0.0, 1.0)
+        q = s0 + t[:, None] * e
+        return jnp.sum((p[None, :] - q) ** 2, -1)
+
+    def point_tri_dist(p):
+        # candidate 1: projection onto the triangle plane, valid only when
+        # the barycentric coords are inside; candidates 2-4: the three edges
+        ab = b - a
+        ac = c - a
+        n = jnp.cross(ab, ac)
+        nn = jnp.maximum(jnp.sum(n * n, -1), 1e-20)
+        ap = p[None, :] - a
+        dist_plane = jnp.sum(ap * n, -1)
+        proj = p[None, :] - dist_plane[:, None] * n / nn[:, None]
+        # barycentric of proj
+        d00 = jnp.sum(ab * ab, -1)
+        d01 = jnp.sum(ab * ac, -1)
+        d11 = jnp.sum(ac * ac, -1)
+        pv = proj - a
+        d20 = jnp.sum(pv * ab, -1)
+        d21 = jnp.sum(pv * ac, -1)
+        denom = jnp.maximum(d00 * d11 - d01 * d01, 1e-20)
+        v = (d11 * d20 - d01 * d21) / denom
+        w = (d00 * d21 - d01 * d20) / denom
+        inside = (v >= 0) & (w >= 0) & (v + w <= 1)
+        d2_plane = jnp.where(inside, dist_plane * dist_plane / nn, jnp.inf)
+        d2 = jnp.minimum(
+            jnp.minimum(d2_plane, seg_dist2(p, a, b)),
+            jnp.minimum(seg_dist2(p, b, c), seg_dist2(p, a, c)),
+        )
+        return jnp.sqrt(jnp.min(jnp.where(valid, d2, jnp.inf)))
+
+    return jax.lax.map(point_tri_dist, points)
