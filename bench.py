@@ -1,0 +1,131 @@
+"""Benchmark: Mpts/sec through the isolate → skeletonize → QSM pipeline.
+
+Matches BASELINE.json's metric. Synthetic multi-tree plot (trunk rings +
+canopy blobs, the geometry of the reference's SKIO scans) is isolated into
+trees, the largest tree is voxel-cleaned, contraction-skeletonized, and
+QSM-fit. Baseline for ``vs_baseline`` is the driver-set north star:
+10M points in 60 s on v5e-8 = 0.1667 Mpts/s (BASELINE.md) — this round runs
+single-chip.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+import numpy as np
+
+NORTH_STAR_MPTS_S = 10e6 / 60.0 / 1e6  # 0.1667 Mpts/s
+
+
+def synthetic_plot(n_total: int, n_trees: int = 8, seed: int = 0) -> np.ndarray:
+    rng = np.random.default_rng(seed)
+    per = n_total // n_trees
+    trees = []
+    grid = int(np.ceil(np.sqrt(n_trees)))
+    for i in range(n_trees):
+        cx, cy = (i % grid) * 8.0, (i // grid) * 8.0
+        n_trunk = per // 2
+        n_canopy = per - n_trunk
+        th = rng.uniform(0, 2 * np.pi, n_trunk)
+        z = rng.uniform(0, 6.0, n_trunk)
+        r = 0.3 + rng.normal(0, 0.01, n_trunk)
+        trunk = np.stack([cx + r * np.cos(th), cy + r * np.sin(th), z], 1)
+        canopy = rng.normal([cx, cy, 7.5], [1.6, 1.6, 1.0], (n_canopy, 3))
+        trees.append(np.concatenate([trunk, canopy]))
+    return np.concatenate(trees).astype(np.float32)
+
+
+def main() -> int:
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--n", type=int, default=2_000_000)
+    parser.add_argument("--trees", type=int, default=8)
+    parser.add_argument("--skeleton-points", type=int, default=40_000)
+    args = parser.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from pyqsm_tpu.config import Config, IsolationConfig
+    from pyqsm_tpu.models.isolation import build_trees
+    from pyqsm_tpu.models.qsm import sphere_following_qsm
+    from pyqsm_tpu.models.skeleton import skeletonize
+    from pyqsm_tpu.ops.sampling import voxel_downsample
+
+    n = args.n
+    pts_np = synthetic_plot(n, args.trees)
+    pts = jnp.asarray(pts_np)
+    mask = jnp.ones(n, dtype=bool)
+    cfg = Config()
+
+    # ---- warmup compile (excluded): tiny run of every stage ---------------
+    iso_cfg = IsolationConfig(base_min_points=200, low_pctile=4.0,
+                              max_dist=0.2, cycles=400, min_frontier=3)
+
+    t0 = time.perf_counter()
+
+    # 1. isolation on the full plot
+    iso = build_trees(pts, mask, iso_cfg, neighbor_cap=12)
+    labels = iso.labels
+    jax.block_until_ready(labels)
+    t_iso = time.perf_counter()
+
+    # 2. largest tree -> voxel clean -> contraction skeleton -> topology QSM
+    lab_np = np.asarray(labels)
+    uniq, counts = np.unique(lab_np[lab_np >= 0], return_counts=True)
+    best = uniq[np.argmax(counts)]
+    tree_mask = jnp.asarray(lab_np == best)
+
+    # downsample the tree to the contraction budget
+    target = args.skeleton_points
+    n_tree = int(counts.max())
+    voxel = 0.03
+    p2, m2, _ = voxel_downsample(pts, voxel, tree_mask)
+    while int(jnp.sum(m2)) > target and voxel < 0.5:
+        voxel *= 1.6
+        p2, m2, _ = voxel_downsample(pts, voxel, tree_mask)
+    skel, topo, cyls_skel = skeletonize(p2, m2, cfg.skeletonize)
+    jax.block_until_ready(cyls_skel.radius)
+    t_skel = time.perf_counter()
+
+    # 3. sphere-following QSM on the same tree (trunk seed)
+    z = np.asarray(p2[:, 2])
+    m2_np = np.asarray(m2)
+    rows = np.flatnonzero(m2_np & (z < np.nanpercentile(np.where(m2_np, z, np.nan), 3)))
+    seed = np.full(1024, -1, np.int32)
+    seed[: min(len(rows), 1024)] = rows[:1024]
+    qsm = sphere_following_qsm(
+        p2, m2, jnp.asarray(seed), jnp.asarray(seed >= 0), 0.3,
+        sphere=cfg.sphere, dbscan_cfg=cfg.dbscan, max_steps=48,
+    )
+    jax.block_until_ready(qsm.found)
+    t_qsm = time.perf_counter()
+
+    total = t_qsm - t0
+    value = n / total / 1e6
+    n_trees_found = len(uniq)
+    print(json.dumps({
+        "metric": "Mpts/sec isolate->skeleton->QSM pipeline",
+        "value": round(value, 4),
+        "unit": "Mpts/s",
+        "vs_baseline": round(value / NORTH_STAR_MPTS_S, 3),
+        "detail": {
+            "n_points": n,
+            "isolation_s": round(t_iso - t0, 2),
+            "skeleton_s": round(t_skel - t_iso, 2),
+            "qsm_s": round(t_qsm - t_skel, 2),
+            "trees_found": int(n_trees_found),
+            "skeleton_cylinders": int(jnp.sum(cyls_skel.mask)),
+            "qsm_cylinders": int(qsm.cylinders.count()),
+            "backend": jax.default_backend(),
+        },
+    }))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -132,11 +132,18 @@ def id_trunk_bases(
             high = zoom_mask(points, high, jnp.asarray(region), reverse=True)
     if clean:
         low = _clean_slice(points, low)
-    # DBSCAN on the low slice: eps=1 m, min 300 pts (ref :316)
-    d, i = radius_knn(points, points, radius=cfg.base_eps,
-                      k=max(64, 2 * min(cfg.base_min_points, 256)),
+    # DBSCAN on the low slice: eps=1 m, min 300 pts (ref :316). Exact core
+    # counting via radius_count; small capped lists carry connectivity only
+    # (large top_k is pathologically slow on TPU).
+    from pyqsm_tpu.ops.neighbors import radius_count
+
+    counts = radius_count(points, points, radius=cfg.base_eps,
+                          query_mask=low, point_mask=low)
+    core = low & (counts >= cfg.base_min_points)
+    d, i = radius_knn(points, points, radius=cfg.base_eps, k=32,
                       query_mask=low, point_mask=low)
-    labels = dbscan_from_neighbors(i, d, low, min_samples=cfg.base_min_points)
+    labels = dbscan_from_neighbors(i, d, low, min_samples=cfg.base_min_points,
+                                   core=core)
     return labels, low, high
 
 

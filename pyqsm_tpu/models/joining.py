@@ -1,0 +1,191 @@
+"""Plot-scale cluster joining.
+
+TPU-native rebuild of ``pyQSM/cluster_joining.py``: merge per-tree clusters
+across scans/shards. The reference builds per-label KD-trees on 1/10-
+subsampled points and fills a pairwise ``sparse_distance_matrix`` adjacency
+(threshold 0.35 m) with pickle caching (ref :84-164), then walks an
+*interactive* join loop (y/n/r/s/q prompts, ref :241-323) and human cluster
+ratings (ref :325-352).
+
+Here adjacency is one batched min-distance reduction over all label pairs,
+and the interactive approvals become explicit *policies* (auto-accept
+threshold + audit log) per SURVEY.md §7 — the hooks remain overridable for
+a human-in-the-loop caller.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from pyqsm_tpu.ops.neighbors import knn
+from pyqsm_tpu.ops.sampling import uniform_downsample
+
+Array = jax.Array
+
+
+class Adjacency(NamedTuple):
+    min_dist: Array  # [L, L] min pairwise distance between labels
+    adjacent: Array  # [L, L] bool (min_dist <= threshold)
+    labels: Array  # [L] i32 label ids present
+
+
+def label_adjacency(
+    points: Array,
+    labels: Array,
+    mask: Array,
+    threshold: float = 0.35,
+    subsample_every: int = 10,
+    max_labels: int = 256,
+) -> Adjacency:
+    """Pairwise min distance between labeled clusters on 1/k-subsampled
+    points (ref ``determine_adjacency`` :126-164; ::10 subsample :91).
+
+    Host-orchestrated over the label list; each pair reduction is jitted.
+    """
+    sub = uniform_downsample(mask & (labels >= 0), subsample_every)
+    lab_np = np.asarray(jnp.where(sub, labels, -1))
+    present = np.unique(lab_np[lab_np >= 0])[:max_labels]
+    L = len(present)
+    dmat = np.full((L, L), np.inf, np.float32)
+    pts = points
+    for i in range(L):
+        mi = jnp.asarray(lab_np == present[i])
+        # one kNN query of cluster i's points against all other live points
+        d, idx = knn(pts, pts, 2, query_mask=mi,
+                     point_mask=jnp.asarray((lab_np >= 0) & (lab_np != present[i])))
+        nearest = np.asarray(d[:, 0])
+        owner = np.asarray(idx[:, 0])
+        ok = np.isfinite(nearest)
+        if not ok.any():
+            continue
+        tgt_labels = lab_np[owner[ok]]
+        nd = nearest[ok]
+        for j, lj in enumerate(present):
+            sel = tgt_labels == lj
+            if sel.any():
+                dmat[i, j] = min(dmat[i, j], nd[sel].min())
+    # symmetrize
+    dmat = np.minimum(dmat, dmat.T)
+    np.fill_diagonal(dmat, 0.0)
+    adj = (dmat <= threshold) & ~np.eye(L, dtype=bool)
+    return Adjacency(jnp.asarray(dmat), jnp.asarray(adj), jnp.asarray(present.astype(np.int32)))
+
+
+def auto_join_policy(adj: Adjacency, max_dist: float | None = None) -> list[tuple[int, int]]:
+    """Default approval policy: accept every adjacent pair (optionally with
+    a tighter distance). Returns the audit list of approved (label, label)
+    joins — the replacement for the y/n/r ``input()`` loop (ref :268-295)."""
+    a = np.asarray(adj.adjacent)
+    d = np.asarray(adj.min_dist)
+    labels = np.asarray(adj.labels)
+    out = []
+    for i in range(len(labels)):
+        for j in range(i + 1, len(labels)):
+            if a[i, j] and (max_dist is None or d[i, j] <= max_dist):
+                out.append((int(labels[i]), int(labels[j])))
+    return out
+
+
+def join_clusters(
+    labels: Array,
+    joins: list[tuple[int, int]],
+) -> Array:
+    """Apply approved joins: union-find over label ids, relabel to the root,
+    then compact (ref ``join_clusters`` :422-470 +
+    ``labeled_clusters_from_pw_results`` :354-366)."""
+    lab_np = np.asarray(labels)
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in joins:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    out = lab_np.copy()
+    for lid in np.unique(lab_np[lab_np >= 0]):
+        out[lab_np == lid] = find(int(lid))
+    # renumber label *ids* densely to 0..C-1 (compact_labels assumes
+    # row-index-rooted labels, which these are not)
+    uniq = np.unique(out[out >= 0])
+    remap = {int(u): i for i, u in enumerate(uniq)}
+    dense = out.copy()
+    for u, i in remap.items():
+        dense[out == u] = i
+    return jnp.asarray(dense.astype(np.int32))
+
+
+class Ratings(NamedTuple):
+    """Cluster quality ratings — the reference's hand-curated g/b/s tables
+    (``cluster_joining.py:20-44``) as a typed artifact."""
+
+    labels: Array  # [L]
+    rating: dict[int, str]  # label -> 'g' | 'b' | 's'
+
+
+def rate_clusters(
+    points: Array,
+    labels: Array,
+    mask: Array,
+    rater: Callable[[int, np.ndarray], str] | None = None,
+    min_points: int = 100,
+    min_height: float = 2.0,
+) -> Ratings:
+    """Cluster rating with a pluggable rater (default: geometric heuristic —
+    'g'ood if tall enough and dense enough, 's'mall if tiny, else 'b'ad —
+    standing in for the interactive g/b/s loop, ref :325-352)."""
+    lab_np = np.asarray(labels)
+    pts = np.asarray(points)
+    m = np.asarray(mask)
+    out: dict[int, str] = {}
+    present = np.unique(lab_np[(lab_np >= 0) & m])
+    for lid in present:
+        sel = (lab_np == lid) & m
+        cluster = pts[sel]
+        if rater is not None:
+            out[int(lid)] = rater(int(lid), cluster)
+            continue
+        if len(cluster) < min_points:
+            out[int(lid)] = "s"
+        elif np.ptp(cluster[:, 2]) >= min_height:
+            out[int(lid)] = "g"
+        else:
+            out[int(lid)] = "b"
+    return Ratings(jnp.asarray(present.astype(np.int32)), out)
+
+
+def merge_labeled_scans(
+    points_list: list[Array],
+    labels_list: list[Array],
+    masks_list: list[Array],
+    threshold: float = 0.35,
+) -> tuple[Array, Array, Array]:
+    """Combine multiple labeled scans into one cloud with globally joined
+    labels (ref ``generate_combined_clusters`` :646-728): offset label ids
+    per scan, concatenate, compute adjacency, auto-join."""
+    offset = 0
+    pts_all, lab_all, mask_all = [], [], []
+    for pts, lab, m in zip(points_list, labels_list, masks_list):
+        lab = np.asarray(lab).copy()
+        live = lab >= 0
+        lab[live] += offset
+        if live.any():
+            offset = lab[live].max() + 1
+        pts_all.append(np.asarray(pts))
+        lab_all.append(lab)
+        mask_all.append(np.asarray(m))
+    points = jnp.asarray(np.concatenate(pts_all))
+    labels = jnp.asarray(np.concatenate(lab_all).astype(np.int32))
+    mask = jnp.asarray(np.concatenate(mask_all))
+    adj = label_adjacency(points, labels, mask, threshold=threshold)
+    joins = auto_join_policy(adj)
+    return points, join_clusters(labels, joins), mask

@@ -85,15 +85,21 @@ def dbscan_from_neighbors(
     min_samples: int = 10,
     neighbor_cap: int = 0,  # unused; kept for API clarity
     max_rounds: int = 64,
+    core: Array | None = None,  # precomputed core mask (exact counts)
 ) -> Array:
     """DBSCAN given precomputed eps-neighbor lists. Returns labels [N] i32
     (noise/dead = -1), compacted to 0..C-1 by descending-id-independent order
-    (component min-row id, then renumbered by first occurrence)."""
+    (component min-row id, then renumbered by first occurrence).
+
+    When ``core`` is given (from an exact `radius_count`), the capped lists
+    are used for connectivity only — required when min_samples exceeds the
+    list cap (large top_k is pathologically slow on TPU)."""
     n = nbr_idx.shape[0]
     valid = (nbr_idx >= 0) & mask[:, None]
-    # neighbor lists from knn include self at distance 0
-    n_nbrs = jnp.sum(valid, axis=1)
-    core = mask & (n_nbrs >= min_samples)
+    if core is None:
+        # neighbor lists from knn include self at distance 0
+        n_nbrs = jnp.sum(valid, axis=1)
+        core = mask & (n_nbrs >= min_samples)
 
     gidx = jnp.maximum(nbr_idx, 0)
     nbr_is_core = core[gidx] & valid
@@ -130,13 +136,17 @@ def dbscan(
     """DBSCAN over 3D points (brute-force neighbor lists; use
     ``dbscan_from_neighbors`` with grid-index lists for big clouds).
 
-    ``neighbor_cap`` bounds the per-point eps-neighborhood; exactness of the
-    core test requires cap > min_samples and connectivity is preserved when
-    cap is large enough that dense regions stay transitively linked (in
-    practice cap >= 2*min_samples; validated vs sklearn in tests).
-    """
+    The core test is exact (``radius_count`` — a matmul+sum with no top-k),
+    so ``min_samples`` may exceed ``neighbor_cap``; the capped lists carry
+    connectivity only (cap >= ~2×density scale keeps dense regions
+    transitively linked; validated vs sklearn in tests)."""
+    from pyqsm_tpu.ops.neighbors import radius_count
+
+    counts = radius_count(points, points, radius=eps, query_mask=mask, point_mask=mask)
+    core = mask & (counts >= min_samples)
     d, i = radius_knn(points, points, radius=eps, k=neighbor_cap, query_mask=mask, point_mask=mask)
-    return dbscan_from_neighbors(i, d, mask, min_samples=min_samples, max_rounds=max_rounds)
+    return dbscan_from_neighbors(i, d, mask, min_samples=min_samples,
+                                 max_rounds=max_rounds, core=core)
 
 
 @jax.jit

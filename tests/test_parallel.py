@@ -1,0 +1,80 @@
+"""Multi-device sharding tests on the virtual 8-device CPU mesh."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from pyqsm_tpu.parallel import make_mesh, tree_points_mesh, multi_tree_pipeline_step
+from pyqsm_tpu.parallel.mesh import shard_tree_batch
+from tests.conftest import synthetic_branch
+
+
+def test_device_count():
+    assert jax.device_count() == 8
+
+
+def test_mesh_construction():
+    mesh = make_mesh()
+    assert mesh.axis_names == ("points",)
+    mesh2 = tree_points_mesh()
+    assert mesh2.axis_names == ("trees", "points")
+    assert mesh2.devices.shape == (2, 4)
+
+
+def test_multi_tree_pipeline_step_runs_and_matches_single_device(rng):
+    mesh = tree_points_mesh()  # (2, 4)
+    t, n = 2, 512
+    trees = []
+    for i in range(t):
+        pts = synthetic_branch(n, radius=0.3, length=3.0, seed=i)
+        trees.append(pts)
+    batch = jnp.asarray(np.stack(trees))
+    mask = jnp.ones((t, n), bool)
+    batch = shard_tree_batch(batch, mesh)
+
+    step = multi_tree_pipeline_step(mesh, k=8, n_hyp=64)
+    out = step(batch, mask, jax.random.PRNGKey(0))
+    # shapes
+    assert out["contracted"].shape == (t, n, 3)
+    assert out["shift_mag"].shape == (t, n)
+    assert out["fit_radius"].shape == (t,)
+    assert out["labels"].shape == (t, n)
+
+    radii = np.asarray(out["fit_radius"])
+    # RANSAC circle on a 0.3-radius trunk ring
+    np.testing.assert_allclose(radii, 0.3, atol=0.05)
+    # contraction moved points inward (shift > 0 on average)
+    assert float(jnp.mean(out["shift_mag"])) > 1e-4
+    # neighbor distances are sane (trunk sampling scale)
+    nd = np.asarray(out["nbr_dist_mean"])
+    assert 0.0 < nd.mean() < 0.5
+
+
+def test_ring_knn_matches_local(rng):
+    """ring kNN inside shard_map == single-device brute force."""
+    from functools import partial
+    from jax.sharding import PartitionSpec as P, NamedSharding
+    from jax import shard_map
+    from pyqsm_tpu.parallel.collective_ops import ring_knn
+    from pyqsm_tpu.ops.neighbors import knn
+
+    mesh = make_mesh()  # 8-way points
+    n = 1024
+    pts = rng.uniform(0, 3, (n, 3)).astype(np.float32)
+    mask = np.ones(n, bool)
+
+    fn = shard_map(
+        partial(ring_knn, k=6, axis="points"),
+        mesh=mesh,
+        in_specs=(P("points"), P("points"), P("points")),
+        out_specs=(P("points"), P("points")),
+        check_vma=False,
+    )
+    pj = jax.device_put(jnp.asarray(pts), NamedSharding(mesh, P("points")))
+    d, idx = jax.jit(fn)(pj, pj, jnp.asarray(mask))
+    d_ref, i_ref = knn(jnp.asarray(pts), jnp.asarray(pts), 6)
+    np.testing.assert_allclose(np.asarray(d), np.asarray(d_ref), rtol=1e-3, atol=1e-4)
+    # chosen indices give identical distances (ties aside)
+    chosen = np.linalg.norm(pts[np.asarray(idx)] - pts[:, None], axis=-1)
+    np.testing.assert_allclose(chosen, np.asarray(d_ref), rtol=1e-3, atol=1e-4)

@@ -1,0 +1,114 @@
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from pyqsm_tpu.io.readers import write_npz, write_pcd
+from pyqsm_tpu.pipeline import (
+    StagedPipeline, get_files_by_seed, loop_over_files,
+    save_checkpoint, load_checkpoint,
+)
+from pyqsm_tpu.pipeline.cli import qsm_generation_main, canopy_metrics_main, tree_isolation_main
+from pyqsm_tpu.utils.viz import (
+    color_continuous_map, export_colored_cloud, StepLogger, nn_distance_histogram,
+)
+from tests.conftest import synthetic_branch, synthetic_tree
+
+
+def test_get_files_by_seed(tmp_path):
+    for name in ["seed27_cloud.npz", "seed27_shift.npz", "seed32_cloud.npz", "notes.txt"]:
+        write_npz(tmp_path / name, np.zeros((2, 3)))
+    by_seed = get_files_by_seed([tmp_path], seed_pattern=r"seed(\d+)")
+    assert set(by_seed) == {"27", "32"}
+    assert len(by_seed["27"]) == 2
+
+
+def test_loop_over_files_collects_errors(tmp_path, rng):
+    write_npz(tmp_path / "s1_cloud.npz", rng.uniform(0, 1, (50, 3)))
+    write_npz(tmp_path / "s2_cloud.npz", rng.uniform(0, 1, (50, 3)))
+
+    def fn(seed, data):
+        if seed == "2":
+            raise RuntimeError("boom")
+        return sum(len(v.points) for v in data.values())
+
+    results, errors = loop_over_files(fn, [tmp_path], seed_pattern=r"s(\d+)")
+    assert results == {"1": 50}
+    assert "2" in errors and "boom" in errors["2"]
+
+
+def test_staged_pipeline_resume(tmp_path):
+    calls = []
+
+    def s1(state):
+        calls.append("a")
+        return {"x": np.arange(5)}
+
+    def s2(state):
+        calls.append("b")
+        return {"x": state["x"] * 2}
+
+    pipe = StagedPipeline(tmp_path, seed="t")
+    pipe.add_stage("a", s1).add_stage("b", s2)
+    out = pipe.run()
+    np.testing.assert_array_equal(out["x"], np.arange(5) * 2)
+    assert calls == ["a", "b"]
+    # resume at 'b' loads the 'a' artifact, skips s1
+    calls.clear()
+    out2 = pipe.run(start="b")
+    assert calls == ["b"]
+    np.testing.assert_array_equal(out2["x"], np.arange(5) * 2)
+    # resuming at unknown stage fails loudly
+    with pytest.raises(ValueError):
+        pipe.run(start="zzz")
+
+
+def test_orbax_checkpoint_roundtrip(tmp_path):
+    tree = {"pts": jnp.arange(6.0).reshape(2, 3), "n": jnp.asarray(2)}
+    save_checkpoint(tmp_path / "ck", tree)
+    back = load_checkpoint(tmp_path / "ck", template=tree)
+    np.testing.assert_allclose(np.asarray(back["pts"]), np.asarray(tree["pts"]))
+
+
+def test_cli_qsm_and_metrics(tmp_path, capsys):
+    pts = synthetic_tree(800)
+    f = tmp_path / "tree42.pcd"
+    write_pcd(f, pts)
+    rc = qsm_generation_main([str(f), "-o", str(tmp_path), "--max-steps", "16"])
+    assert rc == 0
+    assert (tmp_path / "tree42_qsm.npz").exists()
+    out = capsys.readouterr().out
+    assert "cylinders" in out
+
+    rc = canopy_metrics_main([str(f), "-o", str(tmp_path), "--cell", "0.1"])
+    assert rc == 0
+    assert (tmp_path / "tree42_metrics.json").exists()
+
+
+def test_cli_isolation(tmp_path, rng, capsys):
+    def tree(cx):
+        th = rng.uniform(0, 2 * np.pi, 2000)
+        z = rng.uniform(0, 5, 2000)
+        return np.stack([cx + 0.3 * np.cos(th), 0.3 * np.sin(th), z], 1)
+    pts = np.concatenate([tree(0), tree(6)]).astype(np.float32)
+    f = tmp_path / "plot7.pcd"
+    write_pcd(f, pts)
+    rc = tree_isolation_main([str(f), "-o", str(tmp_path),
+                              "--base-min-points", "40", "--low-pctile", "5"])
+    assert rc == 0
+    d = np.load(tmp_path / "plot7_trees.npz")
+    lab = d["labels"]
+    assert len(np.unique(lab[lab >= 0])) >= 1
+
+
+def test_viz_utils(tmp_path, rng):
+    pts = rng.uniform(0, 1, (200, 3)).astype(np.float32)
+    vals = pts[:, 2]
+    colors = color_continuous_map(vals)
+    assert colors.shape == (200, 3) and colors.min() >= 0 and colors.max() <= 1
+    export_colored_cloud(tmp_path / "c.ply", pts, values=vals)
+    assert (tmp_path / "c.ply").stat().st_size > 0
+    logger = StepLogger(tmp_path, "run1")
+    p = logger.log(0, pts, claimed=np.zeros(200, bool))
+    assert p.exists()
+    counts, edges = nn_distance_histogram(pts)
+    assert counts.sum() == 200
