@@ -48,6 +48,11 @@ def main() -> int:
     args = parser.parse_args()
 
     import jax
+
+    # persistent compilation cache: axon compiles cost minutes; the cache
+    # lives in-repo so later bench runs (and rounds) skip them
+    jax.config.update("jax_compilation_cache_dir", str(__import__("pathlib").Path(__file__).parent / ".jax_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     import jax.numpy as jnp
 
     from pyqsm_tpu.config import Config, IsolationConfig

@@ -16,7 +16,17 @@ from pathlib import Path
 import numpy as np
 
 
+def enable_compilation_cache() -> None:
+    """Persistent XLA compilation cache (TPU compiles are expensive)."""
+    import jax
+
+    cache = Path(__file__).resolve().parents[2] / ".jax_cache"
+    jax.config.update("jax_compilation_cache_dir", str(cache))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+
 def _load(path: str, voxel: float | None):
+    enable_compilation_cache()
     import jax.numpy as jnp
 
     from pyqsm_tpu.io.readers import read_point_cloud
