@@ -42,7 +42,7 @@ def synthetic_plot(n_total: int, n_trees: int = 8, seed: int = 0) -> np.ndarray:
 
 def main() -> int:
     parser = argparse.ArgumentParser()
-    parser.add_argument("--n", type=int, default=2_000_000)
+    parser.add_argument("--n", type=int, default=1_000_000)
     parser.add_argument("--trees", type=int, default=8)
     parser.add_argument("--skeleton-points", type=int, default=40_000)
     args = parser.parse_args()

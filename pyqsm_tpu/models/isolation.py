@@ -33,7 +33,7 @@ import numpy as np
 from pyqsm_tpu.config import IsolationConfig
 from pyqsm_tpu.ops.cluster import compact_labels, dbscan_from_neighbors
 from pyqsm_tpu.ops.geometry import percentile_mask, zoom_mask
-from pyqsm_tpu.ops.neighbors import GridIndex, build_grid, grid_radius_knn, radius_knn
+from pyqsm_tpu.ops.neighbors import radius_knn
 from pyqsm_tpu.ops.outliers import clean_cloud
 
 Array = jax.Array
@@ -130,20 +130,43 @@ def id_trunk_bases(
         for region in exclude_regions:
             low = zoom_mask(points, low, jnp.asarray(region), reverse=True)
             high = zoom_mask(points, high, jnp.asarray(region), reverse=True)
+    # Compact the low slice to a small padded buffer before the O(M²) ops —
+    # running them masked over the full array wastes 25x the work (the slice
+    # is a few % of the cloud).
+    rows = np.flatnonzero(np.asarray(low))
+    m = len(rows)
+    cap = 1024
+    while cap < m:
+        cap *= 2
+    buf_idx = np.full(cap, -1, np.int32)
+    buf_idx[:m] = rows
+    bidx = jnp.asarray(buf_idx)
+    bmask = bidx >= 0
+    bpts = points[jnp.maximum(bidx, 0)]
+
     if clean:
-        low = _clean_slice(points, low)
+        bmask = _clean_slice(bpts, bmask)
+
     # DBSCAN on the low slice: eps=1 m, min 300 pts (ref :316). Exact core
     # counting via radius_count; small capped lists carry connectivity only
     # (large top_k is pathologically slow on TPU).
     from pyqsm_tpu.ops.neighbors import radius_count
 
-    counts = radius_count(points, points, radius=cfg.base_eps,
-                          query_mask=low, point_mask=low)
-    core = low & (counts >= cfg.base_min_points)
-    d, i = radius_knn(points, points, radius=cfg.base_eps, k=32,
-                      query_mask=low, point_mask=low)
-    labels = dbscan_from_neighbors(i, d, low, min_samples=cfg.base_min_points,
-                                   core=core)
+    counts = radius_count(bpts, bpts, radius=cfg.base_eps,
+                          query_mask=bmask, point_mask=bmask)
+    core = bmask & (counts >= cfg.base_min_points)
+    d, i = radius_knn(bpts, bpts, radius=cfg.base_eps, k=32,
+                      query_mask=bmask, point_mask=bmask)
+    blabels = dbscan_from_neighbors(i, d, bmask, min_samples=cfg.base_min_points,
+                                    core=core)
+    # scatter labels back to full rows
+    n = points.shape[0]
+    labels = jnp.full(n + 1, -1, jnp.int32).at[
+        jnp.where(bmask, bidx, n)
+    ].set(blabels, mode="drop")[:n]
+    low = jnp.zeros(n + 1, bool).at[jnp.where(bmask, bidx, n)].set(
+        True, mode="drop"
+    )[:n]
     return labels, low, high
 
 
@@ -161,23 +184,39 @@ def build_trees(
     cfg: IsolationConfig | None = None,
     exclude_regions: list | None = None,
     neighbor_cap: int = 16,
-    grid_index: GridIndex | None = None,
+    pre_voxel: float | None = None,
 ) -> GrowthResult:
     """Full isolation: trunk bases → parallel region growing
     (ref ``build_trees_nogrid``, ``tree_isolation.py:400-423``; the grid-
     sharded ``build_trees_knn`` variant is unnecessary on TPU — the whole
-    plot stays resident in HBM)."""
+    plot stays resident in HBM).
+
+    Scaling design: the cloud is voxel-downsampled to ``pre_voxel``
+    (default ``max_dist/2`` — which *bounds* grid-cell occupancy, making the
+    cell-blocked neighbor query exact and fast), the growth runs on the
+    representatives, and labels/orders expand back to full resolution
+    through the voxel trace — a gather, not the reference's 41-file rescan.
+    """
+    from pyqsm_tpu.ops.neighbors import grid_self_radius_knn
+    from pyqsm_tpu.ops.sampling import voxel_downsample
+
     if cfg is None:
         cfg = IsolationConfig()
-    seed_labels, low, high = id_trunk_bases(points, mask, cfg, exclude_regions)
+    if pre_voxel is None:
+        pre_voxel = cfg.max_dist / 2.0
+
+    rep_pts, rep_mask, trace = voxel_downsample(points, pre_voxel, mask)
+    seed_labels, low, high = id_trunk_bases(rep_pts, rep_mask, cfg, exclude_regions)
     search = low | high
-    if grid_index is None:
-        grid_index = build_grid(points, cell_size=cfg.max_dist, mask=search)
-    _, nbr_idx = grid_radius_knn(
-        grid_index, points, radius=cfg.max_dist, k=neighbor_cap,
-        query_mask=search, cell_cap=64,
+    d, nbr_idx = grid_self_radius_knn(
+        rep_pts, radius=cfg.max_dist, k=neighbor_cap, mask=search,
     )
-    return region_grow(
+    res = region_grow(
         nbr_idx, seed_labels, search,
         max_cycles=cfg.cycles, min_frontier=cfg.min_frontier,
     )
+    # expand representative labels/orders to the full cloud via the trace
+    safe = jnp.maximum(trace, 0)
+    labels_full = jnp.where(mask & (trace >= 0), res.labels[safe], -1)
+    order_full = jnp.where(mask & (trace >= 0), res.order[safe], -1)
+    return GrowthResult(labels_full, order_full, res.cycles_run, res.active)

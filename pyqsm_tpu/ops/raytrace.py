@@ -69,8 +69,33 @@ def _moller_trumbore(
     return jnp.where(hit, t, jnp.inf), u, v
 
 
-@partial(jax.jit, static_argnames=("ray_tile", "tri_tile"))
 def cast_rays(
+    origins: Array,
+    dirs: Array,
+    vertices: Array,
+    triangles: Array,
+    ray_tile: int = 2048,
+    tri_tile: int = 1024,
+    backend: str = "auto",
+) -> Hits:
+    """Closest-hit + any-hit-count casting (Embree ``cast_rays`` +
+    ``list_intersections`` capabilities in one pass).
+
+    ``backend``: 'xla' (scanned tiles), 'pallas' (fused VMEM-resident
+    kernel, ``ops.pallas_kernels.mt_raycast``), or 'auto' (pallas on TPU,
+    xla elsewhere)."""
+    if backend == "auto":
+        backend = "pallas" if jax.default_backend() == "tpu" else "xla"
+    if backend == "pallas":
+        from pyqsm_tpu.ops.pallas_kernels import mt_raycast
+
+        t, tri, uv, cnt = mt_raycast(origins, dirs, vertices, triangles)
+        return Hits(t=t, tri=tri, uv=uv, count=cnt)
+    return _cast_rays_xla(origins, dirs, vertices, triangles, ray_tile, tri_tile)
+
+
+@partial(jax.jit, static_argnames=("ray_tile", "tri_tile"))
+def _cast_rays_xla(
     origins: Array,  # [R, 3]
     dirs: Array,  # [R, 3] (need not be normalised; t is in dir units)
     vertices: Array,  # [V, 3]
@@ -78,8 +103,6 @@ def cast_rays(
     ray_tile: int = 2048,
     tri_tile: int = 1024,
 ) -> Hits:
-    """Closest-hit + any-hit-count casting (Embree ``cast_rays`` +
-    ``list_intersections`` capabilities in one pass)."""
     r = origins.shape[0]
     tri_valid = triangles[:, 0] >= 0
     tri = jnp.maximum(triangles, 0)
