@@ -84,6 +84,7 @@ def _contract(
     termination_ratio: float,
     cg_iters: int = 200,
     cg_tol: float = 1e-5,
+    semantic_scale: Array | None = None,
 ) -> SkeletonResult:
     n = points.shape[0]
     center, axes, half = obb_axes(points, mask)
@@ -92,6 +93,12 @@ def _contract(
     m0_mean = jnp.sum(jnp.where(mask, m0, 0.0)) / jnp.maximum(jnp.sum(mask), 1)
 
     wl0 = jnp.full(n, contraction_factor * 1e3 * jnp.sqrt(m0_mean))
+    if semantic_scale is not None:
+        # semantic-weighted contraction (ref semantic_weighting,
+        # scripts/downgraded_from_src/local_skeletonize_copy_test.py:49-76;
+        # config [skeletonize].semantic_weight): per-point multiplier on the
+        # Laplacian rows, e.g. weight trunk points harder than branches
+        wl0 = wl0 * semantic_scale
     wh0 = jnp.full(n, attraction_factor)
     live = mask.astype(points.dtype)
 
@@ -133,8 +140,13 @@ def extract_skeleton(
     cfg: SkeletonizeConfig | None = None,
     amplify_auto: bool = True,
     cg_iters: int = 200,
+    trunk_mask: Array | None = None,
 ) -> SkeletonResult:
-    """Contract the cloud onto its skeleton (ref ``extract_skeleton``)."""
+    """Contract the cloud onto its skeleton (ref ``extract_skeleton``).
+
+    ``trunk_mask``: optional semantic labels — trunk points get their
+    Laplacian rows scaled by ``cfg.semantic_weight`` (the reference's
+    semantic-weighted contraction variant)."""
     if cfg is None:
         cfg = SkeletonizeConfig()
     termination = cfg.termination_ratio
@@ -142,6 +154,9 @@ def extract_skeleton(
     if amplify_auto and cfg.step_wise_contraction_amplification == "auto":
         n_live = int(jnp.sum(mask))
         termination, contraction = set_amplification(n_live, termination)
+    semantic_scale = None
+    if trunk_mask is not None:
+        semantic_scale = jnp.where(trunk_mask, cfg.semantic_weight, 1.0)
     return _contract(
         points, mask,
         n_neighbors=cfg.n_neighbors,
@@ -153,6 +168,7 @@ def extract_skeleton(
         max_attraction=cfg.max_attraction,
         termination_ratio=termination,
         cg_iters=cg_iters,
+        semantic_scale=semantic_scale,
     )
 
 

@@ -196,6 +196,44 @@ def alpha_complex_mesh(points: np.ndarray, alpha: float,
                    jnp.asarray(boundary.astype(np.int32)))
 
 
+def surface_clusters(mesh: TriMesh, min_triangles: int = 1) -> tuple[np.ndarray, TriMesh]:
+    """Connected-triangle clustering + small-cluster filtering (ref
+    ``get_surface_clusters``, ``mesh_processing.py:159-194``): triangles
+    sharing an edge are one surface component. Returns (labels per triangle,
+    filtered mesh). Host-side union-find over edge keys."""
+    tris = np.asarray(mesh.triangles)
+    live = tris[:, 0] >= 0
+    idx = np.flatnonzero(live)
+    t = tris[idx]
+    parent = np.arange(len(t))
+
+    def find(x):
+        root = x
+        while parent[root] != root:
+            root = parent[root]
+        while parent[x] != root:
+            parent[x], x = root, parent[x]
+        return root
+
+    edge_owner: dict[tuple[int, int], int] = {}
+    for ti, tri in enumerate(t):
+        for a, b in ((tri[0], tri[1]), (tri[1], tri[2]), (tri[0], tri[2])):
+            key = (int(min(a, b)), int(max(a, b)))
+            if key in edge_owner:
+                ra, rb = find(edge_owner[key]), find(ti)
+                if ra != rb:
+                    parent[max(ra, rb)] = min(ra, rb)
+            else:
+                edge_owner[key] = ti
+    roots = np.array([find(i) for i in range(len(t))])
+    _, labels, counts = np.unique(roots, return_inverse=True, return_counts=True)
+    keep = counts[labels] >= min_triangles
+    out = np.full(len(tris), -1, np.int64)
+    out[idx] = labels
+    filtered = TriMesh(mesh.vertices, jnp.asarray(t[keep].astype(np.int32)))
+    return out, filtered
+
+
 def mesh_properties(mesh: TriMesh) -> dict:
     """Manifold/watertight/area audit (ref ``check_properties``,
     ``mesh_processing.py:45-119``). Host-side."""
