@@ -47,15 +47,21 @@ class GrowthResult(NamedTuple):
     active: Array  # [N] bool — cluster-id-indexed activity at exit
 
 
-@partial(jax.jit, static_argnames=("max_cycles", "min_frontier"))
+@partial(jax.jit, static_argnames=("max_cycles", "min_frontier", "scatter_push"))
 def region_grow(
     nbr_idx: Array,  # [N, k] radius-graph neighbors (-1 padded)
     seed_labels: Array,  # [N] i32 initial cluster ids (-1 = unclaimed)
     mask: Array,  # [N] live points
     max_cycles: int = 200,
     min_frontier: int = 5,
+    scatter_push: bool = False,
 ) -> GrowthResult:
-    """Grow all seed clusters simultaneously until frontier exhaustion."""
+    """Grow all seed clusters simultaneously until frontier exhaustion.
+
+    ``scatter_push`` additionally propagates along in-edges (frontier points
+    push labels at their neighbors) — needed only when the k-cap makes the
+    graph strongly asymmetric; TPU scatters are expensive, and gather-only
+    claims converge to the same labels through closer-neighbor chains."""
     n, k = nbr_idx.shape
     gidx = jnp.maximum(nbr_idx, 0)
     edge = (nbr_idx >= 0) & mask[:, None] & mask[jnp.clip(nbr_idx, 0, n - 1)]
@@ -77,16 +83,17 @@ def region_grow(
         nbr_front = frontier[gidx] & edge
         nbr_act = active[jnp.clip(nbr_lab, 0, n - 1)] & (nbr_lab >= 0)
         cand = jnp.min(jnp.where(nbr_front & nbr_act, nbr_lab, _BIG), axis=1)
-        # in-edges = scatter: frontier points push their label at their nbrs
-        push_lab = jnp.where(
-            (frontier & active[jnp.clip(labels, 0, n - 1)])[:, None] & edge,
-            labels[:, None], _BIG,
-        )
-        tgt = jnp.where(edge, gidx, n)
-        cand_in = jnp.full(n + 1, _BIG).at[tgt.reshape(-1)].min(
-            jnp.broadcast_to(push_lab, tgt.shape).reshape(-1), mode="drop"
-        )[:n]
-        cand = jnp.minimum(cand, cand_in)
+        if scatter_push:
+            # in-edges: frontier points push their label at their neighbors
+            push_lab = jnp.where(
+                (frontier & active[jnp.clip(labels, 0, n - 1)])[:, None] & edge,
+                labels[:, None], _BIG,
+            )
+            tgt = jnp.where(edge, gidx, n)
+            cand_in = jnp.full(n + 1, _BIG).at[tgt.reshape(-1)].min(
+                jnp.broadcast_to(push_lab, tgt.shape).reshape(-1), mode="drop"
+            )[:n]
+            cand = jnp.minimum(cand, cand_in)
 
         unclaimed = mask & (labels < 0)
         newly = unclaimed & (cand < _BIG)

@@ -153,6 +153,43 @@ def _cluster_xy_radius(points: Array, idx: Array, sel: Array) -> Array:
     return jnp.sum(d * w) / n
 
 
+@partial(jax.jit, static_argnames=("cap", "min_pts", "n_hypotheses"))
+def _qsm_step_fused(
+    points: Array, mask: Array, found: Array,
+    fidx: Array, fvalid: Array, key: Array,
+    last_radius: Array,
+    threshold: float, radius_multiplier: float,
+    min_radius: float, max_radius: float,
+    eps: float, min_pts: int,
+    cap: int, n_hypotheses: int = 512,
+):
+    """One sphere step fused into a single dispatch: RANSAC fit + ball query
+    + DBSCAN split + per-step bookkeeping. The host reads back one small
+    tuple instead of syncing 6+ kernels (each sync pays tunnel latency on
+    remote TPU setups)."""
+    fit = _fit_front(points, fidx, fvalid, key,
+                     threshold=threshold,
+                     max_radius=last_radius * radius_multiplier,
+                     min_radius=min_radius,
+                     n_hypotheses=n_hypotheses)
+    new_idx, new_valid, center, ball_r = _ball_new(
+        points, mask, found, fidx, fvalid,
+        radius_multiplier, min_radius, max_radius, last_radius, cap=cap,
+    )
+    labels = _split_dbscan(points, new_idx, new_valid, eps=eps, min_pts=min_pts)
+    found = found.at[jnp.maximum(new_idx, 0)].set(
+        new_valid | found[jnp.maximum(new_idx, 0)]
+    )
+    n_front = jnp.sum(fvalid)
+    return (
+        found,
+        dict(radius=fit.radius, axis=fit.axis, center=fit.center,
+             height=fit.height, ok=fit.ok, n_inliers=fit.n_inliers,
+             n_front=n_front),
+        new_idx, new_valid, labels,
+    )
+
+
 # ---------------------------------------------------------------------------
 # worklist orchestration
 # ---------------------------------------------------------------------------
@@ -217,63 +254,55 @@ def sphere_following_qsm(
         front = queue.pop(0)
         key, k_fit, k_km = jax.random.split(key, 3)
 
-        fit = _fit_front(
-            points, front.idx, front.valid, k_fit,
+        # one fused dispatch per step: fit + ball + claim + DBSCAN split;
+        # a single host readback drives all policy decisions
+        found, fit, new_idx, new_valid, labels = _qsm_step_fused(
+            points, mask, found, front.idx, front.valid, k_fit,
+            jnp.asarray(front.last_radius),
             threshold=0.04,
-            max_radius=jnp.asarray(front.last_radius * sphere.radius_multiplier),
-            min_radius=sphere.min_radius,
+            radius_multiplier=sphere.radius_multiplier,
+            min_radius=sphere.min_radius, max_radius=sphere.max_radius,
+            eps=dbscan_cfg.epsilon, min_pts=dbscan_cfg.min_neighbors,
+            cap=p,
         )
-        n_front = int(jnp.sum(front.valid))
+        fit_host = jax.device_get(fit)
+        lab_np = np.asarray(labels)
+        idx_np = np.asarray(new_idx)
+        nv_np = np.asarray(new_valid)
+
+        n_front = int(fit_host["n_front"])
         good_fit = (
-            bool(fit.ok)
-            and float(fit.radius) < sphere.bad_fit_radius_factor * front.last_radius
-            and int(fit.n_inliers) >= max(sphere.min_contained_points, int(0.25 * n_front))
+            bool(fit_host["ok"])
+            and float(fit_host["radius"]) < sphere.bad_fit_radius_factor * front.last_radius
+            and int(fit_host["n_inliers"]) >= max(sphere.min_contained_points, int(0.25 * n_front))
         )
         if good_fit:
             cyls.append(
                 dict(
-                    center=np.asarray(fit.center),
-                    axis=np.asarray(fit.axis),
-                    height=float(fit.height),
-                    radius=float(fit.radius),
+                    center=np.asarray(fit_host["center"]),
+                    axis=np.asarray(fit_host["axis"]),
+                    height=float(fit_host["height"]),
+                    radius=float(fit_host["radius"]),
                     branch_order=front.branch_order,
                     parent=front.parent,
                 )
             )
         cyl_id = len(cyls) - 1 if good_fit else front.parent
 
-        new_idx, new_valid, center, ball_r = _ball_new(
-            points, mask, found, front.idx, front.valid,
-            sphere.radius_multiplier, sphere.min_radius, sphere.max_radius,
-            jnp.asarray(front.last_radius), cap=p,
-        )
-        n_new = int(jnp.sum(new_valid))
+        n_new = int(nv_np.sum())
         if n_new < sphere.min_contained_points:
             continue
-        found = found.at[jnp.maximum(new_idx, 0)].set(
-            new_valid | found[jnp.maximum(new_idx, 0)]
-        )
 
-        # branch split: DBSCAN after good fit, k-means sweep after bad fit
-        if good_fit:
-            labels = _split_dbscan(points, new_idx, new_valid,
-                                   eps=dbscan_cfg.epsilon,
-                                   min_pts=dbscan_cfg.min_neighbors)
-        else:
-            best_labels, best_score, best_k = None, -1.0, 1
+        if not good_fit:
+            # bad fit: the reference switches to a k-means sweep (branches
+            # likely split) — rare path, allowed an extra dispatch
+            best_labels, best_score = None, -1.0
             for k_try in (2, 3, 4):
                 lab, score = _split_kmeans(points, new_idx, new_valid, k_try, k_km)
                 if float(score) > best_score:
-                    best_labels, best_score, best_k = lab, float(score), k_try
+                    best_labels, best_score = lab, float(score)
             if best_score > 0.4:
-                labels = best_labels
-            else:
-                labels = _split_dbscan(points, new_idx, new_valid,
-                                       eps=dbscan_cfg.epsilon,
-                                       min_pts=dbscan_cfg.min_neighbors)
-
-        lab_np = np.asarray(labels)
-        idx_np = np.asarray(new_idx)
+                lab_np = np.asarray(best_labels)
         # merge clusters whose centroids are within branch scale of each
         # other: arc fragments of one ring are one branch, not a bifurcation
         lab_np = _merge_close_clusters(

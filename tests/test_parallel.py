@@ -78,3 +78,23 @@ def test_ring_knn_matches_local(rng):
     # chosen indices give identical distances (ties aside)
     chosen = np.linalg.norm(pts[np.asarray(idx)] - pts[:, None], axis=-1)
     np.testing.assert_allclose(chosen, np.asarray(d_ref), rtol=1e-3, atol=1e-4)
+
+
+def test_sharded_cast_rays_matches_local(rng):
+    from pyqsm_tpu.parallel import make_mesh, sharded_cast_rays
+    from pyqsm_tpu.ops.mesh import sphere_mesh
+    from pyqsm_tpu.ops.raytrace import cast_rays, pinhole_rays
+    import jax.numpy as jnp
+
+    mesh3d = sphere_mesh(jnp.array([0.0, 0, 0]), 1.0, n_lat=8, n_lon=16)
+    origins, dirs = pinhole_rays(jnp.array([0.0, 0, 5.0]), jnp.array([0.0, 0, 0]),
+                                 jnp.array([0.0, 1, 0]), 60.0, 32, 16)  # 512 rays
+    dmesh = make_mesh()
+    hits = sharded_cast_rays(dmesh, origins, dirs, mesh3d.vertices, mesh3d.triangles)
+    ref = cast_rays(origins, dirs, mesh3d.vertices, mesh3d.triangles)
+    np.testing.assert_allclose(
+        np.where(np.isfinite(np.asarray(hits.t)), np.asarray(hits.t), -1),
+        np.where(np.isfinite(np.asarray(ref.t)), np.asarray(ref.t), -1),
+        rtol=1e-4, atol=1e-5,
+    )
+    np.testing.assert_array_equal(np.asarray(hits.count), np.asarray(ref.count))
