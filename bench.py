@@ -113,6 +113,26 @@ def main() -> int:
     total = t_qsm - t0
     value = n / total / 1e6
     n_trees_found = len(uniq)
+
+    # secondary headline: ray throughput against the QSM mesh
+    rays_per_s = None
+    try:
+        from pyqsm_tpu.ops.mesh import qsm_mesh
+        from pyqsm_tpu.ops.raytrace import cast_rays, pinhole_rays
+
+        scene = qsm_mesh(cyls_skel, segments=8)
+        center = jnp.mean(scene.vertices, axis=0)
+        origins, dirs = pinhole_rays(center + jnp.asarray([0.0, 0, 10.0]), center,
+                                     jnp.asarray([0.0, 1, 0]), 90.0, 640, 480)
+        hits = cast_rays(origins, dirs, scene.vertices, scene.triangles)
+        _ = int(jnp.sum(hits.tri >= 0))  # compile + run
+        t0r = time.perf_counter()
+        hits = cast_rays(origins, dirs, scene.vertices, scene.triangles)
+        _ = int(jnp.sum(hits.tri >= 0))
+        rays_per_s = origins.shape[0] / (time.perf_counter() - t0r)
+    except Exception:  # noqa: BLE001 — secondary metric must not kill bench
+        pass
+
     print(json.dumps({
         "metric": "Mpts/sec isolate->skeleton->QSM pipeline",
         "value": round(value, 4),
@@ -126,6 +146,7 @@ def main() -> int:
             "trees_found": int(n_trees_found),
             "skeleton_cylinders": int(jnp.sum(cyls_skel.mask)),
             "qsm_cylinders": int(qsm.cylinders.count()),
+            "raycast_Mrays_s": None if rays_per_s is None else round(rays_per_s / 1e6, 2),
             "backend": jax.default_backend(),
         },
     }))

@@ -449,20 +449,45 @@ def _cell_blocked_query(
     cell_ids, starts, counts, _ = _build_buckets(index, nc_cap, cap)
     sp = index.sorted_points
 
-    # neighbor bucket positions per cell: NC x 27 searches over cell_ids
+    # neighbor bucket positions per cell. Cell ids are z-minor, so the three
+    # z-neighbors of any (dx,dy) column are consecutive ids: one searchsorted
+    # for the middle id locates all three at slots {s-1, s, s+1} (verified by
+    # id equality) — 9 binary searches instead of 27.
     dims = index.dims
     cid = jnp.where(cell_ids < _INT32_MAX, cell_ids, 0)
     cz = cid % dims[2]
     cy = (cid // dims[2]) % dims[1]
     cx = cid // (dims[1] * dims[2])
     coords = jnp.stack([cx, cy, cz], axis=1)  # [NC, 3]
-    nbr_coords = coords[:, None, :] + jnp.asarray(_NBR_OFFSETS)[None]  # [NC,27,3]
-    nbr_cid = _cell_id(nbr_coords, dims)
-    nbr_pos = jnp.searchsorted(cell_ids, nbr_cid)  # [NC, 27] bucket slot
-    found = (nbr_pos < nc_cap) & (
-        cell_ids[jnp.clip(nbr_pos, 0, nc_cap - 1)] == nbr_cid
-    ) & (nbr_cid < _INT32_MAX)
-    nbr_pos = jnp.where(found, nbr_pos, nc_cap - 1)
+    xy_off = np.array([[dx, dy, 0] for dx in (-1, 0, 1) for dy in (-1, 0, 1)],
+                      dtype=np.int32)  # [9, 3]
+    mid_coords = coords[:, None, :] + jnp.asarray(xy_off)[None]  # [NC, 9, 3]
+    mid_cid = _cell_id(mid_coords, dims)  # [NC, 9]
+    mid_safe = jnp.where(mid_cid < _INT32_MAX, mid_cid, 0)
+    s = jnp.searchsorted(cell_ids, mid_safe)  # [NC, 9]
+    dz = jnp.asarray(np.array([-1, 0, 1], np.int32))
+    # candidate slots {s-1, s, s+1}; each wanted id {mid-1, mid, mid+1} may
+    # sit at ANY of them when some ids are absent — match ids × slots
+    slots = s[:, :, None] + dz[None, None, :]  # [NC, 9, 3slots]
+    slots_clip = jnp.clip(slots, 0, nc_cap - 1)
+    slot_ids = cell_ids[slots_clip]  # [NC, 9, 3]
+    slot_ok = (slots >= 0) & (slots < nc_cap)
+    want_cid = mid_safe[:, :, None] + dz[None, None, :]  # [NC, 9, 3ids]
+    # z-boundary cells would alias the neighbor column's id — mask them
+    z_ok = (
+        (coords[:, None, 2:3] + dz[None, None, :] >= 0)
+        & (coords[:, None, 2:3] + dz[None, None, :] < dims[2])
+    )
+    match = (
+        (slot_ids[:, :, None, :] == want_cid[:, :, :, None])  # [NC,9,id,slot]
+        & slot_ok[:, :, None, :]
+        & (mid_cid[:, :, None, None] < _INT32_MAX)
+        & z_ok[:, :, :, None]
+    )
+    found3 = jnp.any(match, axis=-1)  # [NC, 9, 3ids]
+    pos3 = jnp.max(jnp.where(match, slots_clip[:, :, None, :], 0), axis=-1)
+    nbr_pos = jnp.where(found3, pos3, nc_cap - 1).reshape(-1, 27)
+    found = found3.reshape(-1, 27)
 
     offs = jnp.arange(cap, dtype=jnp.int32)
     r2 = radius * radius
@@ -507,7 +532,10 @@ def _cell_blocked_query(
         row_orig = jnp.where(q_valid, index.sorted_idx[q_idx], -1)
         return best_d, best_orig, row_orig
 
-    d_t, i_t, rows_t = jax.lax.map(tile, jnp.arange(nt))
+    # batch tiles: sequential lax.map is latency-bound at ~256 small tiles
+    d_t, i_t, rows_t = jax.lax.map(
+        tile, jnp.arange(nt), batch_size=min(16, nt)
+    )
     d_flat = d_t.reshape(-1, k)
     i_flat = i_t.reshape(-1, k)
     rows = rows_t.reshape(-1)
@@ -546,9 +574,8 @@ def grid_self_radius_knn(
         mask = jnp.ones(n, dtype=bool)
     index = build_grid(points, cell_size=radius, mask=mask)
     occ = int(max_cell_occupancy(index))
-    cap = 8
-    while cap < occ and cap < max_bucket:
-        cap *= 2
+    # tight cap (multiple of 4): padding waste scales the whole kernel
+    cap = min(max(4, -4 * (-occ // 4)), max_bucket)
     if occ > cap:
         logging.getLogger("pyqsm_tpu.calc").warning(
             "grid_self_radius_knn: cell occupancy %d exceeds bucket %d — "
