@@ -94,6 +94,58 @@ def scatter_snapshot(path: str | Path, points, values=None, mask=None,
     plt.close(fig)
 
 
+def rotating_compare_gif(
+    path: str | Path,
+    points_a,
+    points_b,
+    values_a=None,
+    values_b=None,
+    steps: int = 36,
+    on_frames: int = 3,
+    off_frames: int = 3,
+    point_size: float = 0.5,
+    fps: int = 8,
+    figsize: float = 6.0,
+) -> Path:
+    """Rotating before/after comparison GIF (ref ``rotating_compare_gif``,
+    ``viz_utils.py:145-308``): the camera orbits while frames alternate
+    between the two geometries every on/off cycle. Headless matplotlib +
+    imageio."""
+    import imageio.v2 as imageio
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    a = np.asarray(points_a)
+    b = np.asarray(points_b)
+    both = np.concatenate([a, b])
+    center = both.mean(0)
+    span = np.ptp(both, axis=0).max() / 2 + 1e-6
+    frames = []
+    cycle = on_frames + off_frames
+    for i in range(steps):
+        use_a = (i % cycle) < on_frames
+        pts = a if use_a else b
+        vals = values_a if use_a else values_b
+        fig = plt.figure(figsize=(figsize, figsize))
+        ax = fig.add_subplot(projection="3d")
+        ax.scatter(pts[:, 0], pts[:, 1], pts[:, 2], c=vals, s=point_size,
+                   cmap="plasma")
+        ax.view_init(elev=20, azim=i * 360.0 / steps)
+        for setl, c in ((ax.set_xlim, 0), (ax.set_ylim, 1), (ax.set_zlim, 2)):
+            setl(center[c] - span, center[c] + span)
+        ax.set_axis_off()
+        fig.canvas.draw()
+        w, h = fig.canvas.get_width_height()
+        buf = np.frombuffer(fig.canvas.buffer_rgba(), dtype=np.uint8)
+        frames.append(buf.reshape(h, w, 4)[..., :3].copy())
+        plt.close(fig)
+    path = Path(path)
+    imageio.mimsave(path, frames, fps=fps, loop=0)
+    return path
+
+
 def nn_distance_histogram(points, mask=None, k: int = 2, bins: int = 50):
     """Nearest-neighbor distance histogram (ref ``plot_dist_dist``).
     Returns (counts, edges)."""

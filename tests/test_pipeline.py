@@ -112,3 +112,12 @@ def test_viz_utils(tmp_path, rng):
     assert p.exists()
     counts, edges = nn_distance_histogram(pts)
     assert counts.sum() == 200
+
+
+def test_rotating_compare_gif(tmp_path, rng):
+    from pyqsm_tpu.utils.viz import rotating_compare_gif
+    a = rng.uniform(0, 1, (200, 3)).astype(np.float32)
+    b = a * 0.5
+    p = rotating_compare_gif(tmp_path / "cmp.gif", a, b, steps=4,
+                             on_frames=2, off_frames=2)
+    assert p.exists() and p.stat().st_size > 1000
