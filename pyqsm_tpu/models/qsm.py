@@ -100,7 +100,9 @@ def _ball_new(
     radius = jnp.clip(mean_d * radius_multiplier, min_radius, max_radius)
 
     d = jnp.linalg.norm(points - center[None, :], axis=-1)
-    cand = mask & ~found & (d <= radius)
+    # an empty front (wave padding) must not claim anything — its centroid
+    # would sit at the origin and eat real points
+    cand = mask & ~found & (d <= radius) & jnp.any(fvalid)
     score = jnp.where(cand, -d, -jnp.inf)
     top, idx = jax.lax.top_k(score, cap)
     valid = jnp.isfinite(top)
@@ -190,6 +192,58 @@ def _qsm_step_fused(
     )
 
 
+@partial(jax.jit, static_argnames=("cap", "min_pts", "n_hypotheses"))
+def _qsm_wave_fused(
+    points: Array, mask: Array, found: Array,
+    fidx: Array, fvalid: Array, keys: Array,  # [W, P], [W, P], [W, 2]
+    last_radius: Array,  # [W]
+    threshold: float, radius_multiplier: float,
+    min_radius: float, max_radius: float,
+    eps: float, min_pts: int,
+    cap: int, n_hypotheses: int = 512,
+):
+    """A whole WAVE of fronts in one dispatch: vmapped fit/ball/split with
+    claim-conflict resolution (earlier fronts in the wave own contested
+    points — mirroring the reference's serial visit order)."""
+
+    def one(fi, fv, key, lr):
+        fit = _fit_front(points, fi, fv, key, threshold=threshold,
+                         max_radius=lr * radius_multiplier,
+                         min_radius=min_radius, n_hypotheses=n_hypotheses)
+        new_idx, new_valid, _, _ = _ball_new(
+            points, mask, found, fi, fv,
+            radius_multiplier, min_radius, max_radius, lr, cap=cap,
+        )
+        return fit, new_idx, new_valid
+
+    fits, new_idx, new_valid = jax.vmap(one)(fidx, fvalid, keys, last_radius)
+
+    # conflict resolution: the earliest wave slot that claims a point owns it
+    w = fidx.shape[0]
+    n = points.shape[0]
+    owner = jnp.full(n + 1, w, jnp.int32)
+    for wi in range(w):  # static, small
+        tgt = jnp.where(new_valid[wi], new_idx[wi], n)
+        owner = owner.at[tgt].min(wi, mode="drop")
+    keep = new_valid & (owner[jnp.maximum(new_idx, 0)] == jnp.arange(w)[:, None])
+    new_valid = keep
+
+    # claim + split per front (split after dedup so labels reflect ownership)
+    for wi in range(w):
+        found = found.at[jnp.maximum(new_idx[wi], 0)].set(
+            new_valid[wi] | found[jnp.maximum(new_idx[wi], 0)]
+        )
+    labels = jax.vmap(
+        lambda ni, nv: _split_dbscan(points, ni, nv, eps=eps, min_pts=min_pts)
+    )(new_idx, new_valid)
+    stats = dict(
+        radius=fits.radius, axis=fits.axis, center=fits.center,
+        height=fits.height, ok=fits.ok, n_inliers=fits.n_inliers,
+        n_front=jnp.sum(fvalid, axis=1),
+    )
+    return found, stats, new_idx, new_valid, labels
+
+
 # ---------------------------------------------------------------------------
 # worklist orchestration
 # ---------------------------------------------------------------------------
@@ -222,8 +276,13 @@ def sphere_following_qsm(
     max_steps: int = 512,
     max_cylinders: int = 2048,
     seed: int = 0,
+    wave_size: int = 4,
 ) -> QSMResult:
-    """Run the sphere-following walk from a seed front until exhaustion."""
+    """Run the sphere-following walk from a seed front until exhaustion.
+
+    ``wave_size``: fronts processed per fused dispatch (padded with dead
+    fronts so the kernel compiles once); contested claims go to the earliest
+    front in the wave, mirroring the reference's serial visit order."""
     if sphere is None:
         sphere = SphereConfig()
     if dbscan_cfg is None:
@@ -249,89 +308,109 @@ def sphere_following_qsm(
     cyls: list[dict] = []
     steps = 0
 
-    while queue and steps < max_steps and len(cyls) < max_cylinders:
-        steps += 1
-        front = queue.pop(0)
-        key, k_fit, k_km = jax.random.split(key, 3)
+    wave_size = max(int(wave_size), 1)
+    order_updates: list[tuple[np.ndarray, int]] = []
 
-        # one fused dispatch per step: fit + ball + claim + DBSCAN split;
-        # a single host readback drives all policy decisions
-        found, fit, new_idx, new_valid, labels = _qsm_step_fused(
-            points, mask, found, front.idx, front.valid, k_fit,
-            jnp.asarray(front.last_radius),
+    while queue and steps < max_steps and len(cyls) < max_cylinders:
+        # one fused dispatch per WAVE of up to `wave_size` fronts: vmapped
+        # fit + ball + claim (conflicts resolved by wave order) + splits;
+        # a single host readback drives all policy decisions. The wave is
+        # padded to exactly `wave_size` with dead fronts so the kernel
+        # compiles once.
+        wave = [queue.pop(0) for _ in range(min(wave_size, len(queue)))]
+        steps += len(wave)
+        dummy = Front(jnp.full(p, -1, jnp.int32), jnp.zeros(p, bool), 1.0, 0, -1)
+        padded = wave + [dummy] * (wave_size - len(wave))
+        key, k_fit, k_km = jax.random.split(key, 3)
+        keys = jax.random.split(k_fit, wave_size)
+        fidx_w = jnp.stack([f.idx for f in padded])
+        fvalid_w = jnp.stack([f.valid for f in padded])
+        lastr_w = jnp.asarray([f.last_radius for f in padded], jnp.float32)
+
+        found, stats, new_idx_w, new_valid_w, labels_w = _qsm_wave_fused(
+            points, mask, found, fidx_w, fvalid_w, keys, lastr_w,
             threshold=0.04,
             radius_multiplier=sphere.radius_multiplier,
             min_radius=sphere.min_radius, max_radius=sphere.max_radius,
             eps=dbscan_cfg.epsilon, min_pts=dbscan_cfg.min_neighbors,
             cap=p,
         )
-        fit_host = jax.device_get(fit)
-        lab_np = np.asarray(labels)
-        idx_np = np.asarray(new_idx)
-        nv_np = np.asarray(new_valid)
+        stats_host = jax.device_get(stats)
+        labels_np = np.asarray(labels_w)
+        idx_np_w = np.asarray(new_idx_w)
+        nv_np_w = np.asarray(new_valid_w)
 
-        n_front = int(fit_host["n_front"])
-        good_fit = (
-            bool(fit_host["ok"])
-            and float(fit_host["radius"]) < sphere.bad_fit_radius_factor * front.last_radius
-            and int(fit_host["n_inliers"]) >= max(sphere.min_contained_points, int(0.25 * n_front))
-        )
-        if good_fit:
-            cyls.append(
-                dict(
-                    center=np.asarray(fit_host["center"]),
-                    axis=np.asarray(fit_host["axis"]),
-                    height=float(fit_host["height"]),
-                    radius=float(fit_host["radius"]),
-                    branch_order=front.branch_order,
-                    parent=front.parent,
-                )
+        for wi, front in enumerate(wave):
+            n_front = int(stats_host["n_front"][wi])
+            good_fit = (
+                bool(stats_host["ok"][wi])
+                and float(stats_host["radius"][wi]) < sphere.bad_fit_radius_factor * front.last_radius
+                and int(stats_host["n_inliers"][wi]) >= max(
+                    sphere.min_contained_points, int(0.25 * n_front))
             )
-        cyl_id = len(cyls) - 1 if good_fit else front.parent
+            if good_fit:
+                cyls.append(
+                    dict(
+                        center=stats_host["center"][wi],
+                        axis=stats_host["axis"][wi],
+                        height=float(stats_host["height"][wi]),
+                        radius=float(stats_host["radius"][wi]),
+                        branch_order=front.branch_order,
+                        parent=front.parent,
+                    )
+                )
+            cyl_id = len(cyls) - 1 if good_fit else front.parent
 
-        n_new = int(nv_np.sum())
-        if n_new < sphere.min_contained_points:
-            continue
-
-        if not good_fit:
-            # bad fit: the reference switches to a k-means sweep (branches
-            # likely split) — rare path, allowed an extra dispatch
-            best_labels, best_score = None, -1.0
-            for k_try in (2, 3, 4):
-                lab, score = _split_kmeans(points, new_idx, new_valid, k_try, k_km)
-                if float(score) > best_score:
-                    best_labels, best_score = lab, float(score)
-            if best_score > 0.4:
-                lab_np = np.asarray(best_labels)
-        # merge clusters whose centroids are within branch scale of each
-        # other: arc fragments of one ring are one branch, not a bifurcation
-        lab_np = _merge_close_clusters(
-            np.asarray(points[jnp.maximum(new_idx, 0)]), lab_np,
-            merge_dist=max(2.2 * front.last_radius, 0.15),
-        )
-        usable = [
-            lab for lab in np.unique(lab_np[lab_np >= 0])
-            if (lab_np == lab).sum() >= sphere.min_contained_points
-        ]
-        if not usable:
-            # fragmentation fallback: advance with the whole new set as one
-            # front rather than stalling the branch
-            lab_np = np.where(np.asarray(new_valid), 0, -1)
-            usable = [0]
-        for li, lab in enumerate(usable):
-            sel = lab_np == lab
-            rows = idx_np[sel]
-            if len(rows) < sphere.min_contained_points:
+            lab_np = labels_np[wi]
+            idx_np = idx_np_w[wi]
+            nv_np = nv_np_w[wi]
+            n_new = int(nv_np.sum())
+            if n_new < sphere.min_contained_points:
                 continue
-            sel_j = jnp.asarray(sel)
-            cr = float(_cluster_xy_radius(points, new_idx, sel_j))
-            cr = min(max(cr, sphere.min_radius), sphere.max_radius)
-            cr = max(cr, front.last_radius / 2.0)
-            child_order = front.branch_order + (1 if li > 0 else 0)
-            branch_order = branch_order.at[jnp.asarray(rows)].set(child_order)
-            fidx, fvalid = pad_front(rows)
-            queue.append(Front(fidx, fvalid, cr, child_order, cyl_id))
 
+            if not good_fit:
+                # bad fit: the reference switches to a k-means sweep
+                # (branches likely split) — rare path, extra dispatch allowed
+                best_labels, best_score = None, -1.0
+                for k_try in (2, 3, 4):
+                    lab, score = _split_kmeans(
+                        points, jnp.asarray(idx_np), jnp.asarray(nv_np), k_try, k_km)
+                    if float(score) > best_score:
+                        best_labels, best_score = lab, float(score)
+                if best_score > 0.4:
+                    lab_np = np.asarray(best_labels)
+            # merge clusters whose centroids are within branch scale of each
+            # other: arc fragments of one ring are one branch, not a split
+            lab_np = _merge_close_clusters(
+                np.asarray(points[np.maximum(idx_np, 0)]), lab_np,
+                merge_dist=max(2.2 * front.last_radius, 0.15),
+            )
+            usable = [
+                lab for lab in np.unique(lab_np[lab_np >= 0])
+                if (lab_np == lab).sum() >= sphere.min_contained_points
+            ]
+            if not usable:
+                # fragmentation fallback: advance with the whole new set as
+                # one front rather than stalling the branch
+                lab_np = np.where(nv_np, 0, -1)
+                usable = [0]
+            for li, lab in enumerate(usable):
+                sel = lab_np == lab
+                rows = idx_np[sel]
+                if len(rows) < sphere.min_contained_points:
+                    continue
+                cr = float(_cluster_xy_radius(points, jnp.asarray(idx_np),
+                                              jnp.asarray(sel)))
+                cr = min(max(cr, sphere.min_radius), sphere.max_radius)
+                cr = max(cr, front.last_radius / 2.0)
+                child_order = front.branch_order + (1 if li > 0 else 0)
+                order_updates.append((rows.copy(), child_order))
+                fidx, fvalid = pad_front(rows)
+                queue.append(Front(fidx, fvalid, cr, child_order, cyl_id))
+
+    # apply branch-order writes in one batch at the end
+    for rows, child_order in order_updates:
+        branch_order = branch_order.at[jnp.asarray(rows)].set(child_order)
     return QSMResult(_pack_cylinders(cyls, max_cylinders), found, branch_order, steps)
 
 
