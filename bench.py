@@ -85,7 +85,11 @@ def main() -> int:
     best = uniq[np.argmax(counts)]
     tree_mask = jnp.asarray(lab_np == best)
 
-    # downsample the tree to the contraction budget
+    # downsample the tree to the contraction budget, then COMPACT: padded
+    # capacity (1M) would drive the skeleton's O(N^2) kernels, not the live
+    # count (~40k)
+    from pyqsm_tpu.ops.sampling import compact_rows
+
     target = args.skeleton_points
     n_tree = int(counts.max())
     voxel = 0.03
@@ -93,6 +97,7 @@ def main() -> int:
     while int(jnp.sum(m2)) > target and voxel < 0.5:
         voxel *= 1.6
         p2, m2, _ = voxel_downsample(pts, voxel, tree_mask)
+    p2, m2, _ = compact_rows(p2, m2)
     skel, topo, cyls_skel = skeletonize(p2, m2, cfg.skeletonize)
     jax.block_until_ready(cyls_skel.radius)
     t_skel = time.perf_counter()

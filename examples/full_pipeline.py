@@ -66,6 +66,8 @@ def main() -> None:
     biggest = trees[np.argmax([(labels == t).sum() for t in trees])]
     tmask = jnp.asarray(labels == biggest)
     p2, m2, _ = voxel_downsample(pts, 0.08, tmask)
+    from pyqsm_tpu.ops.sampling import compact_rows
+    p2, m2, _ = compact_rows(p2, m2)
     t0 = time.perf_counter()
     skel, topo, cyls = skeletonize(p2, m2, cfg.skeletonize)
     print(f"skeleton QSM: {int(jnp.sum(cyls.mask))} cylinders "

@@ -84,6 +84,39 @@ def voxel_downsample(
     return rep_points, rep_mask & finite, trace
 
 
+def compact_rows(
+    points: Array,
+    mask: Array,
+    *extra: Array,
+    pad_multiple: int = 2048,
+) -> tuple:
+    """Host-side: gather live rows into a fresh buffer padded to the next
+    multiple of ``pad_multiple``. Use at capacity boundaries — padded
+    capacity drives the cost of every downstream O(N·M) kernel (a 1M-capacity
+    buffer with 40k live rows runs brute-force kNN at 1M², not 40k²).
+
+    Returns ``(points', mask', rows, *extra')`` where ``rows`` maps compact
+    rows back to original indices (-1 on padding)."""
+    rows_np = np.flatnonzero(np.asarray(mask))
+    m = len(rows_np)
+    cap = max(pad_multiple, -pad_multiple * (-m // pad_multiple))
+    buf = np.full(cap, -1, np.int32)
+    buf[:m] = rows_np
+    rows = jnp.asarray(buf)
+    valid = rows >= 0
+    safe = jnp.maximum(rows, 0)
+    out_pts = jnp.where(valid[:, None], points[safe], 0.0)
+    outs = []
+    for arr in extra:
+        v = arr[safe]
+        fill = jnp.zeros((), v.dtype) if v.dtype != jnp.int32 else jnp.int32(-1)
+        if v.ndim == 1:
+            outs.append(jnp.where(valid, v, fill))
+        else:
+            outs.append(jnp.where(valid.reshape(-1, *([1] * (v.ndim - 1))), v, fill))
+    return (out_pts, valid, rows, *outs)
+
+
 @partial(jax.jit, static_argnames=("every_k",))
 def uniform_downsample(mask: Array, every_k: int) -> Array:
     """Keep every k-th live point (Open3D ``uniform_down_sample`` semantics:
