@@ -61,10 +61,16 @@ def sun_exposure(
     elevation_deg: float = 90.0,
     nx: int = 256,
     ny: int = 256,
+    backend: str = "grid",
 ) -> ExposureResult:
     """Parallel-ray (sun/rain) exposure from a given sun angle
     (the nadir bundle of ``sparse_cast_w_intersections`` generalised to
-    swept angles — BASELINE config 5)."""
+    swept angles — BASELINE config 5).
+
+    ``backend='grid'`` bins triangles into a bundle-perpendicular 2D grid so
+    each ray tests only its own cell (``ops.raygrid``) — exact and ~
+    n_triangles/cell_cap faster than brute tiles; 'brute' keeps the scanned
+    Möller–Trumbore path."""
     az = np.radians(azimuth_deg)
     el = np.radians(elevation_deg)
     direction = -jnp.asarray([
@@ -73,7 +79,17 @@ def sun_exposure(
     v = np.asarray(mesh.vertices)
     lo, hi = v.min(0), v.max(0)
     origins, dirs = parallel_rays(lo, hi, direction, nx, ny, z_offset=1.0)
-    hits = cast_rays(origins, dirs, mesh.vertices, mesh.triangles)
+    if backend == "grid":
+        from pyqsm_tpu.ops.raygrid import build_ray_grid, grid_cast_parallel
+
+        try:
+            grid = build_ray_grid(mesh.vertices, mesh.triangles,
+                                  np.asarray(direction), cell_cap=256)
+            hits = grid_cast_parallel(grid, origins, dirs)
+        except ValueError:
+            hits = cast_rays(origins, dirs, mesh.vertices, mesh.triangles)
+    else:
+        hits = cast_rays(origins, dirs, mesh.vertices, mesh.triangles)
     a3, a2 = exposed_surface_area(hits, mesh.vertices, mesh.triangles)
     frac = float(jnp.mean((hits.tri >= 0).astype(jnp.float32)))
     return ExposureResult(hits, float(a3), float(a2), frac)

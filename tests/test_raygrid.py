@@ -1,0 +1,37 @@
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from pyqsm_tpu.ops.mesh import cylinder_mesh, sphere_mesh, merge_meshes
+from pyqsm_tpu.ops.raygrid import build_ray_grid, grid_cast_parallel
+from pyqsm_tpu.ops.raytrace import cast_rays, parallel_rays
+
+
+@pytest.mark.parametrize("elev", [90.0, 45.0])
+def test_grid_cast_matches_brute(rng, elev):
+    mesh = merge_meshes([
+        sphere_mesh(jnp.array([0.0, 0, 3.0]), 1.0, n_lat=8, n_lon=16),
+        cylinder_mesh(jnp.array([0.0, 0, 1.0]), jnp.array([0.0, 0, 1]), 0.3, 2.0),
+        cylinder_mesh(jnp.array([3.0, 1, 1.5]), jnp.array([0.3, 0, 0.95]), 0.2, 3.0),
+    ])
+    az, el = np.radians(30.0), np.radians(elev)
+    direction = -np.array([np.cos(el)*np.cos(az), np.cos(el)*np.sin(az), np.sin(el)],
+                          dtype=np.float32)
+    v = np.asarray(mesh.vertices)
+    origins, dirs = parallel_rays(v.min(0), v.max(0), direction, 96, 96)
+    ref = cast_rays(origins, dirs, mesh.vertices, mesh.triangles)
+    grid = build_ray_grid(mesh.vertices, mesh.triangles, direction, cell_cap=128)
+    hits = grid_cast_parallel(grid, origins, dirs)
+    t, tr = np.asarray(hits.t), np.asarray(ref.t)
+    np.testing.assert_array_equal(np.isfinite(t), np.isfinite(tr))
+    h = np.isfinite(tr)
+    np.testing.assert_allclose(t[h], tr[h], rtol=1e-4, atol=1e-4)
+    np.testing.assert_array_equal(np.asarray(hits.count), np.asarray(ref.count))
+
+
+def test_grid_cap_overflow_raises():
+    # 200 coincident triangles in one cell must trip the cap check
+    verts = jnp.asarray(np.tile(np.array([[0,0,0],[1,0,0],[0,1,0]], np.float32), (200,1)))
+    tris = jnp.asarray(np.arange(600, dtype=np.int32).reshape(200, 3))
+    with pytest.raises(ValueError):
+        build_ray_grid(verts, tris, np.array([0,0,-1.0]), cell_cap=64)
