@@ -67,63 +67,67 @@ def main() -> int:
     mask = jnp.ones(n, dtype=bool)
     cfg = Config()
 
-    # ---- warmup compile (excluded): tiny run of every stage ---------------
     iso_cfg = IsolationConfig(base_min_points=200, low_pctile=4.0,
                               max_dist=0.2, cycles=400, min_frontier=3)
-
-    t0 = time.perf_counter()
-
-    # 1. isolation on the full plot
-    iso = build_trees(pts, mask, iso_cfg, neighbor_cap=12)
-    labels = iso.labels
-    jax.block_until_ready(labels)
-    t_iso = time.perf_counter()
-
-    # 2. largest tree -> voxel clean -> contraction skeleton -> topology QSM
-    lab_np = np.asarray(labels)
-    uniq, counts = np.unique(lab_np[lab_np >= 0], return_counts=True)
-    best = uniq[np.argmax(counts)]
-    tree_mask = jnp.asarray(lab_np == best)
-
-    # downsample the tree to the contraction budget, then COMPACT: padded
-    # capacity (1M) would drive the skeleton's O(N^2) kernels, not the live
-    # count (~40k)
     from pyqsm_tpu.ops.sampling import compact_rows
 
-    target = args.skeleton_points
-    n_tree = int(counts.max())
-    voxel = 0.03
-    p2, m2, _ = voxel_downsample(pts, voxel, tree_mask)
-    while int(jnp.sum(m2)) > target and voxel < 0.5:
-        voxel *= 1.6
+    def run_pipeline():
+        """One full isolate -> skeletonize -> QSM pass on the fixed inputs."""
+        timings = {}
+        t0 = time.perf_counter()
+
+        # 1. isolation on the full plot
+        iso = build_trees(pts, mask, iso_cfg, neighbor_cap=12)
+        lab_np = np.asarray(iso.labels)  # forced transfer = honest timing
+        timings["isolation_s"] = time.perf_counter() - t0
+        t1 = time.perf_counter()
+
+        # 2. largest tree -> voxel clean -> compact -> contraction skeleton
+        uniq, counts = np.unique(lab_np[lab_np >= 0], return_counts=True)
+        best = uniq[np.argmax(counts)]
+        tree_mask = jnp.asarray(lab_np == best)
+        voxel = 0.03
         p2, m2, _ = voxel_downsample(pts, voxel, tree_mask)
-    p2, m2, _ = compact_rows(p2, m2)
-    skel, topo, cyls_skel = skeletonize(p2, m2, cfg.skeletonize)
-    jax.block_until_ready(cyls_skel.radius)
-    t_skel = time.perf_counter()
+        while int(jnp.sum(m2)) > args.skeleton_points and voxel < 0.5:
+            voxel *= 1.6
+            p2, m2, _ = voxel_downsample(pts, voxel, tree_mask)
+        p2, m2, _ = compact_rows(p2, m2)
+        skel, topo, cyls_skel = skeletonize(p2, m2, cfg.skeletonize)
+        _ = int(jnp.sum(cyls_skel.mask))
+        timings["skeleton_s"] = time.perf_counter() - t1
+        t2 = time.perf_counter()
 
-    # 3. sphere-following QSM on the same tree (trunk seed)
-    z = np.asarray(p2[:, 2])
-    m2_np = np.asarray(m2)
-    rows = np.flatnonzero(m2_np & (z < np.nanpercentile(np.where(m2_np, z, np.nan), 3)))
-    seed = np.full(1024, -1, np.int32)
-    seed[: min(len(rows), 1024)] = rows[:1024]
-    qsm = sphere_following_qsm(
-        p2, m2, jnp.asarray(seed), jnp.asarray(seed >= 0), 0.3,
-        sphere=cfg.sphere, dbscan_cfg=cfg.dbscan, max_steps=48,
-    )
-    jax.block_until_ready(qsm.found)
-    t_qsm = time.perf_counter()
+        # 3. sphere-following QSM on the same tree (trunk seed)
+        z = np.asarray(p2[:, 2])
+        m2_np = np.asarray(m2)
+        rows = np.flatnonzero(
+            m2_np & (z < np.nanpercentile(np.where(m2_np, z, np.nan), 3)))
+        seed = np.full(1024, -1, np.int32)
+        seed[: min(len(rows), 1024)] = rows[:1024]
+        qsm = sphere_following_qsm(
+            p2, m2, jnp.asarray(seed), jnp.asarray(seed >= 0), 0.3,
+            sphere=cfg.sphere, dbscan_cfg=cfg.dbscan, max_steps=48,
+        )
+        _ = int(qsm.cylinders.count())
+        timings["qsm_s"] = time.perf_counter() - t2
+        timings["total_s"] = time.perf_counter() - t0
+        return timings, uniq, cyls_skel, qsm
 
-    total = t_qsm - t0
+    # pass 1: cold process — pays per-kernel executable load (and compiles on
+    # a cold cache); pass 2: the steady-state number a resident service sees
+    cold, _, _, _ = run_pipeline()
+    steady, uniq, cyls_skel, qsm = run_pipeline()
+
+    total = steady["total_s"]
     value = n / total / 1e6
     n_trees_found = len(uniq)
 
     # secondary headline: ray throughput against the QSM mesh
     rays_per_s = None
+    sun_rays_per_s = None
     try:
         from pyqsm_tpu.ops.mesh import qsm_mesh
-        from pyqsm_tpu.ops.raytrace import cast_rays, pinhole_rays
+        from pyqsm_tpu.ops.raytrace import cast_rays, parallel_rays, pinhole_rays
 
         scene = qsm_mesh(cyls_skel, segments=8)
         center = jnp.mean(scene.vertices, axis=0)
@@ -135,6 +139,21 @@ def main() -> int:
         hits = cast_rays(origins, dirs, scene.vertices, scene.triangles)
         _ = int(jnp.sum(hits.tri >= 0))
         rays_per_s = origins.shape[0] / (time.perf_counter() - t0r)
+
+        # cell-aligned parallel sun bundle (the config-5 workload)
+        from pyqsm_tpu.ops.raygrid import build_ray_grid, cell_cast_parallel
+
+        direction = np.array([0.3, 0.2, -0.93], np.float32)
+        direction /= np.linalg.norm(direction)
+        grid = build_ray_grid(scene.vertices, scene.triangles, direction)
+        rpc = 16
+        n_sun = grid.nx * grid.ny * rpc * rpc
+        res = cell_cast_parallel(grid, direction, rays_per_cell_side=rpc)
+        _ = int(jnp.sum(res.count))
+        t0r = time.perf_counter()
+        res = cell_cast_parallel(grid, direction, rays_per_cell_side=rpc)
+        _ = int(jnp.sum(res.count))
+        sun_rays_per_s = n_sun / (time.perf_counter() - t0r)
     except Exception:  # noqa: BLE001 — secondary metric must not kill bench
         pass
 
@@ -145,13 +164,15 @@ def main() -> int:
         "vs_baseline": round(value / NORTH_STAR_MPTS_S, 3),
         "detail": {
             "n_points": n,
-            "isolation_s": round(t_iso - t0, 2),
-            "skeleton_s": round(t_skel - t_iso, 2),
-            "qsm_s": round(t_qsm - t_skel, 2),
+            "isolation_s": round(steady["isolation_s"], 2),
+            "skeleton_s": round(steady["skeleton_s"], 2),
+            "qsm_s": round(steady["qsm_s"], 2),
+            "cold_total_s": round(cold["total_s"], 2),
             "trees_found": int(n_trees_found),
             "skeleton_cylinders": int(jnp.sum(cyls_skel.mask)),
             "qsm_cylinders": int(qsm.cylinders.count()),
             "raycast_Mrays_s": None if rays_per_s is None else round(rays_per_s / 1e6, 2),
+            "sun_grid_Mrays_s": None if sun_rays_per_s is None else round(sun_rays_per_s / 1e6, 2),
             "backend": jax.default_backend(),
         },
     }))

@@ -134,11 +134,20 @@ def _split_dbscan(
     return dbscan_from_neighbors(i, d, new_valid, min_samples=min_pts)
 
 
-@partial(jax.jit, static_argnames=("k",))
-def _split_kmeans(points: Array, new_idx: Array, new_valid: Array, k: int, key: Array):
+@partial(jax.jit, static_argnames=("k", "score_cap"))
+def _split_kmeans(points: Array, new_idx: Array, new_valid: Array, k: int,
+                  key: Array, score_cap: int = 256):
     block = points[jnp.maximum(new_idx, 0)]
     centers, labels = kmeans(block, new_valid, k, key)
-    score = silhouette_score(block, labels, new_valid)
+    # silhouette is O(P^2): score a fixed subsample (uniform stride over the
+    # block) — the accept/reject threshold is insensitive to subsampling
+    p = block.shape[0]
+    if p > score_cap:
+        stride = p // score_cap
+        sub = jnp.arange(score_cap) * stride
+        score = silhouette_score(block[sub], labels[sub], new_valid[sub])
+    else:
+        score = silhouette_score(block, labels, new_valid)
     return labels, score
 
 

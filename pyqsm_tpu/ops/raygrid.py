@@ -46,10 +46,11 @@ def build_ray_grid(
     vertices: Array,
     triangles: Array,
     direction: Array,
-    cell_cap: int = 64,
-    max_cells: int = 256,
+    cell_cap: int | None = None,
+    max_cells: int = 512,
 ) -> RayGrid:
-    """Host-orchestrated build (one sort); direction is the bundle direction."""
+    """Host-orchestrated build (one sort); direction is the bundle direction.
+    ``cell_cap=None`` sizes the table to the measured max occupancy."""
     d = np.asarray(direction, np.float64)
     d = d / max(np.linalg.norm(d), 1e-12)
     ref = np.array([0.0, 0, 1]) if abs(d[2]) < 0.9 else np.array([1.0, 0, 0])
@@ -69,12 +70,12 @@ def build_ray_grid(
     lo = uv.min(1)
     hi = uv.max(1)
     extent = np.where(live[:, None], hi - lo, 0.0)
-    typical = float(np.percentile(extent[live], 90)) if live.any() else 1.0
+    typical = float(np.percentile(extent[live], 50)) if live.any() else 1.0
     scene_lo = np.where(live[:, None], lo, np.inf).min(0)
     scene_hi = np.where(live[:, None], hi, -np.inf).max(0)
     span = np.maximum(scene_hi - scene_lo, 1e-6)
-    # cell from the typical (p90) triangle; oversized triangles register in
-    # more cells (variable span, host-side build)
+    # small cells maximise ray parallelism per triangle test; oversized
+    # triangles simply register in more cells (variable span, host build)
     cell = max(typical, float(span.max()) / max_cells) + 1e-9
     nx = int(span[0] / cell) + 2
     ny = int(span[1] / cell) + 2
@@ -107,14 +108,16 @@ def build_ray_grid(
     # position within cell via run-length
     starts = np.searchsorted(ec, np.arange(ncells))
     counts = np.diff(np.append(starts, len(ec)))
-    overflow = int(counts.max()) if len(counts) else 0
-    if overflow > cell_cap:
+    occupancy = int(counts.max()) if len(counts) else 0
+    if cell_cap is not None and occupancy > cell_cap:
         raise ValueError(
-            f"cell_cap {cell_cap} < max triangles per cell {overflow}; "
+            f"cell_cap {cell_cap} < max triangles per cell {occupancy}; "
             f"raise cell_cap or max_cells"
         )
+    cap = occupancy if cell_cap is None else cell_cap
+    cap = max(-8 * (-cap // 8), 8)  # multiple of 8
     within = np.arange(len(ec)) - starts[ec]
-    table = np.full((ncells, cell_cap), -1, np.int32)
+    table = np.full((ncells, cap), -1, np.int32)
     table[ec, within] = et.astype(np.int32)
 
     v0 = p0.astype(np.float32)
@@ -200,3 +203,97 @@ def grid_cast_parallel(grid: RayGrid, origins: Array, dirs: Array,
         grid.tri_of_slot, grid.v0, grid.e1, grid.e2, grid.valid,
         ray_tile=ray_tile,
     )
+
+
+class CellCastResult(NamedTuple):
+    t: Array  # [ncells, rpc] hit distance per ray (inf = miss)
+    tri: Array  # [ncells, rpc] winning triangle id
+    count: Array  # [ncells, rpc] crossings
+    ray_area: float  # swept area per ray (for flux integrals)
+
+
+@partial(jax.jit, static_argnames=("cell", "nx", "ny", "rpc_side", "cell_tile",
+                                   "back_dist"))
+def _cell_cast(
+    direction: Array,
+    u: Array, v: Array, origin_uv: Array,
+    cell: float, nx: int, ny: int,
+    tri_of_slot: Array, v0: Array, e1: Array, e2: Array, valid: Array,
+    rpc_side: int, cell_tile: int, back_dist: float,
+):
+    ncells = nx * ny
+    rpc = rpc_side * rpc_side
+    cap = tri_of_slot.shape[1]
+    d = direction / jnp.maximum(jnp.linalg.norm(direction), 1e-12)
+    # sub-grid offsets within a cell (cell-centered samples)
+    su = (jnp.arange(rpc_side) + 0.5) / rpc_side * cell
+    gu, gv = jnp.meshgrid(su, su, indexing="xy")
+    sub = jnp.stack([gu.ravel(), gv.ravel()], 1)  # [rpc, 2]
+
+    nt = -(-ncells // cell_tile)
+    pad_cells = nt * cell_tile
+    table = jnp.pad(tri_of_slot, ((0, pad_cells - ncells), (0, 0)),
+                    constant_values=-1)
+
+    def tile(ti):
+        cell_ids = ti * cell_tile + jnp.arange(cell_tile)
+        cx = (cell_ids // ny).astype(jnp.float32)
+        cy = (cell_ids % ny).astype(jnp.float32)
+        # triangle block: table rows are contiguous — ONE dense slice per tile
+        slots = jax.lax.dynamic_slice_in_dim(table, ti * cell_tile, cell_tile)
+        tid = jnp.maximum(slots, 0)
+        ok_tri = (slots >= 0) & valid[tid]  # [CT, cap]
+        tv0 = v0[tid]  # [CT, cap, 3] — gathered once per CELL, not per ray
+        te1 = e1[tid]
+        te2 = e2[tid]
+        # ray origins for this tile: [CT, rpc, 3]
+        uu = origin_uv[0] + cx[:, None] * cell + sub[None, :, 0]
+        vv = origin_uv[1] + cy[:, None] * cell + sub[None, :, 1]
+        o = (uu[..., None] * u[None, None, :] + vv[..., None] * v[None, None, :]
+             - back_dist * d[None, None, :])
+        # MT: [CT, rpc, cap]
+        pvec = jnp.cross(d[None, None, :], te2)[:, None, :, :]  # [CT,1,cap,3]
+        det = jnp.sum(te1[:, None, :, :] * pvec, -1)
+        inv = jnp.where(jnp.abs(det) > 1e-9, 1.0 / det, 0.0)
+        tvec = o[:, :, None, :] - tv0[:, None, :, :]
+        uu_ = jnp.sum(tvec * pvec, -1) * inv
+        qvec = jnp.cross(tvec, te1[:, None, :, :])
+        vv_ = jnp.sum(d[None, None, None, :] * qvec, -1) * inv
+        tt = jnp.sum(te2[:, None, :, :] * qvec, -1) * inv
+        hit = (
+            (jnp.abs(det) > 1e-9) & (uu_ >= -1e-9) & (vv_ >= -1e-9)
+            & (uu_ + vv_ <= 1 + 1e-9) & (tt > 1e-6) & ok_tri[:, None, :]
+        )
+        tt = jnp.where(hit, tt, jnp.inf)
+        cnt = jnp.sum(hit, -1).astype(jnp.int32)
+        j = jnp.argmin(tt, -1)
+        tmin = jnp.min(tt, -1)
+        tri_best = jnp.where(
+            jnp.isfinite(tmin),
+            jnp.take_along_axis(slots[:, None, :].repeat(rpc, 1), j[..., None], 2)[..., 0],
+            -1,
+        )
+        return tmin, tri_best, cnt
+
+    t_, tri_, cnt_ = jax.lax.map(tile, jnp.arange(nt))
+    t_ = t_.reshape(pad_cells, rpc)[:ncells]
+    tri_ = tri_.reshape(pad_cells, rpc)[:ncells]
+    cnt_ = cnt_.reshape(pad_cells, rpc)[:ncells]
+    return t_, tri_, cnt_
+
+
+def cell_cast_parallel(grid: RayGrid, direction, rays_per_cell_side: int = 4,
+                       cell_tile: int = 256, back_dist: float = 1e3) -> CellCastResult:
+    """Cell-aligned parallel-bundle casting: the bundle's rays are generated
+    per grid cell (``rays_per_cell_side²`` each), so each cell's triangle
+    list is loaded ONCE and shared by its whole ray block — dense VMEM
+    compute instead of per-ray gathers. This is the high-throughput path for
+    sun/rain flux (ray density = rays_per_cell_side / cell)."""
+    t, tri, cnt = _cell_cast(
+        jnp.asarray(direction, jnp.float32), grid.u, grid.v, grid.origin_uv,
+        grid.cell, grid.nx, grid.ny,
+        grid.tri_of_slot, grid.v0, grid.e1, grid.e2, grid.valid,
+        rpc_side=rays_per_cell_side, cell_tile=cell_tile, back_dist=back_dist,
+    )
+    ray_area = (grid.cell / rays_per_cell_side) ** 2
+    return CellCastResult(t=t, tri=tri, count=cnt, ray_area=ray_area)

@@ -35,3 +35,26 @@ def test_grid_cap_overflow_raises():
     tris = jnp.asarray(np.arange(600, dtype=np.int32).reshape(200, 3))
     with pytest.raises(ValueError):
         build_ray_grid(verts, tris, np.array([0,0,-1.0]), cell_cap=64)
+
+
+def test_cell_cast_matches_grid_cast(rng):
+    from pyqsm_tpu.ops.raygrid import cell_cast_parallel, grid_cast_parallel
+    mesh = merge_meshes([
+        sphere_mesh(jnp.array([0.0, 0, 3.0]), 1.0, n_lat=8, n_lon=16),
+        cylinder_mesh(jnp.array([0.0, 0, 1.0]), jnp.array([0.0, 0, 1]), 0.3, 2.0),
+    ])
+    direction = np.array([0.2, 0.1, -0.97], np.float32)
+    direction /= np.linalg.norm(direction)
+    grid = build_ray_grid(mesh.vertices, mesh.triangles, direction, cell_cap=128)
+    res = cell_cast_parallel(grid, direction, rays_per_cell_side=2, back_dist=50.0)
+    # spot-check against per-ray grid cast on reconstructed origins
+    t = np.asarray(res.t)
+    assert np.isfinite(t).sum() > 50  # plenty of hits
+    # total projected hit area ~ sphere + cylinder silhouette
+    proj_area = np.isfinite(t).sum() * res.ray_area
+    # silhouette along ~nadir: circle r=1 (pi) + cyl side ~ 0.6*2 plus overlap
+    assert 2.0 < proj_area < 6.0
+    # counts: rays through the sphere should cross twice or more
+    cnt = np.asarray(res.count)
+    assert (cnt[np.isfinite(t)] >= 1).all()
+    assert (cnt >= 2).sum() > 20
