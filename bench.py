@@ -146,7 +146,7 @@ def main() -> int:
         direction = np.array([0.3, 0.2, -0.93], np.float32)
         direction /= np.linalg.norm(direction)
         grid = build_ray_grid(scene.vertices, scene.triangles, direction)
-        rpc = 16
+        rpc = 32
         n_sun = grid.nx * grid.ny * rpc * rpc
         res = cell_cast_parallel(grid, direction, rays_per_cell_side=rpc)
         _ = int(jnp.sum(res.count))

@@ -23,7 +23,7 @@ tests.
 
 from __future__ import annotations
 
-import dataclasses
+
 from typing import NamedTuple
 
 import jax

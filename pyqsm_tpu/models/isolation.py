@@ -31,10 +31,10 @@ import jax.numpy as jnp
 import numpy as np
 
 from pyqsm_tpu.config import IsolationConfig
-from pyqsm_tpu.ops.cluster import compact_labels, dbscan_from_neighbors
+from pyqsm_tpu.ops.cluster import dbscan_from_neighbors
 from pyqsm_tpu.ops.geometry import percentile_mask, zoom_mask
 from pyqsm_tpu.ops.neighbors import radius_knn
-from pyqsm_tpu.ops.outliers import clean_cloud
+
 
 Array = jax.Array
 _BIG = jnp.int32(2**30)
@@ -205,7 +205,7 @@ def build_trees(
     through the voxel trace — a gather, not the reference's 41-file rescan.
     """
     from pyqsm_tpu.ops.neighbors import grid_self_radius_knn
-    from pyqsm_tpu.ops.sampling import voxel_downsample
+    from pyqsm_tpu.ops.sampling import compact_rows, voxel_downsample
 
     if cfg is None:
         cfg = IsolationConfig()
@@ -213,6 +213,9 @@ def build_trees(
         pre_voxel = cfg.max_dist / 2.0
 
     rep_pts, rep_mask, trace = voxel_downsample(points, pre_voxel, mask)
+    # compact the representatives: the padded input capacity would otherwise
+    # drive every growth-cycle gather (~2.5x waste at typical voxel ratios)
+    rep_pts, rep_mask, rep_rows = compact_rows(rep_pts, rep_mask)
     seed_labels, low, high = id_trunk_bases(rep_pts, rep_mask, cfg, exclude_regions)
     search = low | high
     d, nbr_idx = grid_self_radius_knn(
@@ -222,8 +225,15 @@ def build_trees(
         nbr_idx, seed_labels, search,
         max_cycles=cfg.cycles, min_frontier=cfg.min_frontier,
     )
-    # expand representative labels/orders to the full cloud via the trace
-    safe = jnp.maximum(trace, 0)
-    labels_full = jnp.where(mask & (trace >= 0), res.labels[safe], -1)
-    order_full = jnp.where(mask & (trace >= 0), res.order[safe], -1)
+    # expand representative labels/orders to the full cloud: original-row ->
+    # rep row (trace) -> compact row (inverse of rep_rows)
+    n = points.shape[0]
+    inv = jnp.full(n + 1, -1, jnp.int32).at[
+        jnp.where(rep_mask, rep_rows, n)
+    ].set(jnp.arange(rep_rows.shape[0], dtype=jnp.int32), mode="drop")[:n]
+    crow = inv[jnp.maximum(trace, 0)]
+    ok = mask & (trace >= 0) & (crow >= 0)
+    safe = jnp.maximum(crow, 0)
+    labels_full = jnp.where(ok, res.labels[safe], -1)
+    order_full = jnp.where(ok, res.order[safe], -1)
     return GrowthResult(labels_full, order_full, res.cycles_run, res.active)

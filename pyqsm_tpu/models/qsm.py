@@ -35,7 +35,7 @@ import numpy as np
 from pyqsm_tpu.config import Config, DBSCANConfig, SphereConfig, StemConfig
 from pyqsm_tpu.ops.cluster import dbscan_from_neighbors, kmeans, silhouette_score
 from pyqsm_tpu.ops.geometry import crop_mask
-from pyqsm_tpu.ops.neighbors import radius_knn
+
 from pyqsm_tpu.ops.normals import estimate_normals, filter_by_norm
 from pyqsm_tpu.ops.ransac import CylinderFit, fit_cylinder
 from pyqsm_tpu.state import Cylinders

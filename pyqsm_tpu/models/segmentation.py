@@ -11,7 +11,7 @@ a logistic-regression mode is included for an interpretable baseline.
 
 from __future__ import annotations
 
-from functools import partial
+
 from typing import NamedTuple
 
 import jax

@@ -22,8 +22,8 @@ Weight-update formulas and clip caps are otherwise identical.
 
 from __future__ import annotations
 
-import dataclasses
-from dataclasses import dataclass
+
+
 from functools import partial
 from typing import NamedTuple
 

@@ -19,7 +19,7 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 
-from pyqsm_tpu.ops.neighbors import knn, radius_knn
+from pyqsm_tpu.ops.neighbors import radius_knn
 
 Array = jax.Array
 _BIG = jnp.int32(2**30)

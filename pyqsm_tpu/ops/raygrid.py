@@ -22,7 +22,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from pyqsm_tpu.ops.raytrace import Hits, _moller_trumbore
+from pyqsm_tpu.ops.raytrace import Hits
 
 Array = jax.Array
 _INT32_MAX = np.iinfo(np.int32).max

@@ -13,7 +13,7 @@ sums — no CSR indirection, fully static shapes.
 from __future__ import annotations
 
 from functools import partial
-from typing import Callable, NamedTuple
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp

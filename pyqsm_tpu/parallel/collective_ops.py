@@ -13,7 +13,7 @@ All functions assume they run *inside* ``shard_map`` with a named ``axis``.
 
 from __future__ import annotations
 
-from functools import partial
+
 
 import jax
 import jax.numpy as jnp

@@ -9,7 +9,7 @@ across a pod slice."""
 from __future__ import annotations
 
 import jax
-import jax.numpy as jnp
+
 from jax import shard_map
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
