@@ -1,0 +1,35 @@
+"""The driver contract: entry() compiles single-chip; dryrun_multichip runs
+a real sharded step on the virtual mesh."""
+
+import importlib.util
+from pathlib import Path
+
+import numpy as np
+import jax
+import pytest
+
+
+@pytest.fixture(scope="module")
+def graft():
+    spec = importlib.util.spec_from_file_location(
+        "graft", Path(__file__).resolve().parents[1] / "__graft_entry__.py")
+    m = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(m)
+    return m
+
+
+def test_entry_compiles_and_runs(graft):
+    fn, args = graft.entry()
+    out = fn(*args)
+    jax.block_until_ready(out)
+    assert float(out["radius"]) == pytest.approx(0.3, abs=0.02)
+    assert np.isfinite(np.asarray(out["contracted"])).all()
+    assert int(out["n_inliers"]) > 1000
+
+
+def test_dryrun_multichip_8(graft):
+    graft.dryrun_multichip(8)  # asserts internally
+
+
+def test_dryrun_multichip_4(graft):
+    graft.dryrun_multichip(4)
