@@ -186,20 +186,33 @@ def extract_topology(
     graph_k_n: int = 15,
     fps_fraction: float = 0.1,
     min_fps: int = 15,
+    dedupe_voxel: float = 0.02,
 ) -> TopologyResult:
     """FPS → MST → degree-2 contraction (ref ``extract_topology``).
 
     Host-orchestrated (the FPS sample count depends on the live count, a
     data value) but every kernel is jitted.
+
+    ``dedupe_voxel``: the contracted cloud collapses many points onto nearly
+    identical skeleton positions; deduping at this voxel before FPS spends
+    the sample budget on distinct skeleton geometry instead of collapsed
+    blobs (reduces the near-zero-length topology edges the raw FPS
+    produces).
     """
     # near-origin artifact removal (ref :117-122)
     norms = jnp.linalg.norm(contracted, axis=-1)
     mask = mask & (norms > 0.01)
-    n_live = int(jnp.sum(mask))
+    sample_mask = mask  # FPS candidates; the point->vertex map keeps `mask`
+    if dedupe_voxel and dedupe_voxel > 0:
+        from pyqsm_tpu.ops.sampling import voxel_downsample
+
+        _, rep_mask, _ = voxel_downsample(contracted, dedupe_voxel, mask)
+        sample_mask = mask & rep_mask
+    n_live = int(jnp.sum(sample_mask))
     s = max(int(n_live * fps_fraction), min_fps)
     s = min(s, max(n_live, 1))
 
-    fps_idx = farthest_point_sampling(contracted, s, mask)
+    fps_idx = farthest_point_sampling(contracted, s, sample_mask)
     verts = contracted[fps_idx]
     vmask = jnp.ones(s, dtype=bool)
 
@@ -253,7 +266,11 @@ def skeleton_to_qsm(topo: TopologyResult) -> Cylinders:
     height = jnp.linalg.norm(b - a, axis=-1)
     axis = (b - a) / jnp.maximum(height, 1e-12)[:, None]
     center = 0.5 * (a + b)
-    m = g.edge_mask & (height > 1e-6)
+    # prune degenerate edges: shorter than a tenth of the median edge (the
+    # FPS/MST junction clutter the reference also produces but never filters)
+    med = jnp.median(jnp.where(g.edge_mask, height, jnp.nan))
+    med = jnp.nan_to_num(med, nan=0.0)
+    m = g.edge_mask & (height > jnp.maximum(0.1 * med, 1e-6))
     return Cylinders(
         center=center,
         axis=axis,
