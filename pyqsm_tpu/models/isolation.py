@@ -198,6 +198,10 @@ def build_trees(
     sharded ``build_trees_knn`` variant is unnecessary on TPU — the whole
     plot stays resident in HBM).
 
+    NOTE: with pre-voxelization on, ``base_min_points`` counts voxel
+    REPRESENTATIVES, not raw points — scale thresholds accordingly (a 0.05 m
+    voxel reduces dense trunk slices ~5-20x).
+
     Scaling design: the cloud is voxel-downsampled to ``pre_voxel``
     (default ``max_dist/2`` — which *bounds* grid-cell occupancy, making the
     cell-blocked neighbor query exact and fast), the growth runs on the

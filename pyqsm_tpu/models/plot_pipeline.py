@@ -1,0 +1,79 @@
+"""Whole-plot pipeline: isolate → per-tree skeleton QSM + metrics.
+
+The end-to-end driver for BASELINE config 3 ("multi-tree 10M-pt plot: kNN
+graph + tree isolation + per-tree QSM") — the composition the reference
+spreads across ``tree_isolation.py`` → ``pipeline.loop_over_files`` →
+``qsm_generation.py``/``canopy_metrics.py`` with pickles in between. Here
+the plot stays device-resident; each tree is compacted to a tight buffer
+(shared capacity buckets keep recompiles bounded) and skeletonized.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from pyqsm_tpu.config import Config, IsolationConfig
+from pyqsm_tpu.models.canopy import canopy_metrics
+from pyqsm_tpu.models.isolation import GrowthResult, build_trees
+from pyqsm_tpu.models.skeleton import skeletonize
+from pyqsm_tpu.ops.sampling import compact_rows, voxel_downsample
+from pyqsm_tpu.state import Cylinders
+
+Array = jax.Array
+
+
+class TreeResult(NamedTuple):
+    tree_id: int
+    n_points: int
+    cylinders: Cylinders
+    metrics: dict | None
+
+
+class PlotResult(NamedTuple):
+    growth: GrowthResult
+    trees: list[TreeResult]
+
+
+def process_plot(
+    points: Array,
+    mask: Array,
+    cfg: Config | None = None,
+    iso_cfg: IsolationConfig | None = None,
+    skeleton_voxel: float = 0.05,
+    max_skeleton_points: int = 50_000,
+    min_tree_points: int = 500,
+    with_metrics: bool = False,
+    max_trees: int | None = None,
+) -> PlotResult:
+    """Isolate every tree and fit a skeleton QSM per tree."""
+    if cfg is None:
+        cfg = Config()
+    growth = build_trees(points, mask, iso_cfg)
+    lab = np.asarray(growth.labels)
+    uniq, counts = np.unique(lab[lab >= 0], return_counts=True)
+    order = np.argsort(-counts)
+    uniq, counts = uniq[order], counts[order]
+    if max_trees is not None:
+        uniq, counts = uniq[:max_trees], counts[:max_trees]
+
+    trees: list[TreeResult] = []
+    for tree_id, n_tree in zip(uniq, counts):
+        if n_tree < min_tree_points:
+            continue
+        tmask = jnp.asarray(lab == tree_id)
+        voxel = skeleton_voxel
+        p2, m2, _ = voxel_downsample(points, voxel, tmask)
+        while int(jnp.sum(m2)) > max_skeleton_points and voxel < 0.5:
+            voxel *= 1.6
+            p2, m2, _ = voxel_downsample(points, voxel, tmask)
+        p2, m2, _ = compact_rows(p2, m2)
+        skel, topo, cyls = skeletonize(p2, m2, cfg.skeletonize)
+        metrics = None
+        if with_metrics:
+            metrics = canopy_metrics(p2, m2, shift=skel.first_shift)
+        trees.append(TreeResult(int(tree_id), int(n_tree), cyls, metrics))
+    return PlotResult(growth, trees)
