@@ -78,11 +78,12 @@ def region_grow(
     def body(state):
         labels, frontier, order, active, cyc = state
         # candidate label per unclaimed point: min cluster id among frontier
-        # neighbors of still-active clusters (out-edges = gather)
-        nbr_lab = labels[gidx]
-        nbr_front = frontier[gidx] & edge
-        nbr_act = active[jnp.clip(nbr_lab, 0, n - 1)] & (nbr_lab >= 0)
-        cand = jnp.min(jnp.where(nbr_front & nbr_act, nbr_lab, _BIG), axis=1)
+        # neighbors of still-active clusters. Fused: one [N] gather folds the
+        # cluster-activity bit into a per-row code, so the inner loop costs a
+        # single [N,k] gather (gathers are the cycle's bottleneck on TPU).
+        act_self = active[jnp.clip(labels, 0, n - 1)]
+        code = jnp.where(frontier & act_self & (labels >= 0), labels, _BIG)
+        cand = jnp.min(jnp.where(edge, code[gidx], _BIG), axis=1)
         if scatter_push:
             # in-edges: frontier points push their label at their neighbors
             push_lab = jnp.where(

@@ -82,8 +82,8 @@ def _contract(
     max_contraction: float,
     max_attraction: float,
     termination_ratio: float,
-    cg_iters: int = 200,
-    cg_tol: float = 1e-5,
+    cg_iters: int = 80,
+    cg_tol: float = 3e-4,
     semantic_scale: Array | None = None,
 ) -> SkeletonResult:
     n = points.shape[0]
@@ -139,7 +139,7 @@ def extract_skeleton(
     mask: Array,
     cfg: SkeletonizeConfig | None = None,
     amplify_auto: bool = True,
-    cg_iters: int = 200,
+    cg_iters: int = 80,
     trunk_mask: Array | None = None,
 ) -> SkeletonResult:
     """Contract the cloud onto its skeleton (ref ``extract_skeleton``).
