@@ -173,6 +173,7 @@ def main() -> int:
             "qsm_cylinders": int(qsm.cylinders.count()),
             "raycast_Mrays_s": None if rays_per_s is None else round(rays_per_s / 1e6, 2),
             "sun_grid_Mrays_s": None if sun_rays_per_s is None else round(sun_rays_per_s / 1e6, 2),
+            "scope": "isolation on full plot; skeleton+QSM on largest tree; single chip",
             "backend": jax.default_backend(),
         },
     }))

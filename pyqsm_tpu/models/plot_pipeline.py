@@ -19,7 +19,7 @@ import numpy as np
 from pyqsm_tpu.config import Config, IsolationConfig
 from pyqsm_tpu.models.canopy import canopy_metrics
 from pyqsm_tpu.models.isolation import GrowthResult, build_trees
-from pyqsm_tpu.models.skeleton import skeletonize
+
 from pyqsm_tpu.ops.sampling import compact_rows, voxel_downsample
 from pyqsm_tpu.state import Cylinders
 
@@ -60,7 +60,10 @@ def process_plot(
     if max_trees is not None:
         uniq, counts = uniq[:max_trees], counts[:max_trees]
 
-    trees: list[TreeResult] = []
+    # per-tree downsample + compaction into ONE shared capacity bucket so the
+    # batched contraction compiles once and vmaps over the trees axis
+    kept_ids: list[int] = []
+    tree_arrays: list[tuple] = []
     for tree_id, n_tree in zip(uniq, counts):
         if n_tree < min_tree_points:
             continue
@@ -71,9 +74,35 @@ def process_plot(
             voxel *= 1.6
             p2, m2, _ = voxel_downsample(points, voxel, tmask)
         p2, m2, _ = compact_rows(p2, m2)
-        skel, topo, cyls = skeletonize(p2, m2, cfg.skeletonize)
+        kept_ids.append(int(tree_id))
+        tree_arrays.append((p2, m2, int(n_tree)))
+    if not tree_arrays:
+        return PlotResult(growth, [])
+
+    cap = max(p.shape[0] for p, _, _ in tree_arrays)
+    batch_p = jnp.stack([
+        jnp.pad(p, ((0, cap - p.shape[0]), (0, 0))) for p, _, _ in tree_arrays
+    ])
+    batch_m = jnp.stack([
+        jnp.pad(m, (0, cap - m.shape[0])) for _, m, _ in tree_arrays
+    ])
+
+    from pyqsm_tpu.models.skeleton import (
+        extract_skeleton_batch, extract_topology, skeleton_to_qsm,
+    )
+
+    skels = extract_skeleton_batch(batch_p, batch_m, cfg.skeletonize)
+
+    trees: list[TreeResult] = []
+    for i, (tree_id, (p2, m2, n_tree)) in enumerate(zip(kept_ids, tree_arrays)):
+        topo = extract_topology(
+            skels.contracted[i][: p2.shape[0]], m2,
+            skels.total_shift[i][: p2.shape[0]], cfg.skeletonize.graph_k_n,
+        )
+        cyls = skeleton_to_qsm(topo)
         metrics = None
         if with_metrics:
-            metrics = canopy_metrics(p2, m2, shift=skel.first_shift)
-        trees.append(TreeResult(int(tree_id), int(n_tree), cyls, metrics))
+            metrics = canopy_metrics(
+                p2, m2, shift=skels.first_shift[i][: p2.shape[0]])
+        trees.append(TreeResult(tree_id, n_tree, cyls, metrics))
     return PlotResult(growth, trees)

@@ -172,6 +172,40 @@ def extract_skeleton(
     )
 
 
+def extract_skeleton_batch(
+    points: Array,  # [T, P, 3] — trees padded to one capacity bucket
+    masks: Array,  # [T, P]
+    cfg: SkeletonizeConfig | None = None,
+    cg_iters: int = 80,
+) -> SkeletonResult:
+    """Contract a BATCH of trees in one dispatch (vmapped ``_contract``) —
+    the single-chip 'trees' batch axis; across chips the same batch shards
+    over the mesh's 'trees' axis. The while_loop runs until every tree in
+    the batch terminates (converged trees keep solving but stop moving).
+    Amplification tiers are chosen from the largest tree."""
+    if cfg is None:
+        cfg = SkeletonizeConfig()
+    termination = cfg.termination_ratio
+    contraction = cfg.init_contraction
+    if cfg.step_wise_contraction_amplification == "auto":
+        n_max = int(jnp.max(jnp.sum(masks, axis=1)))
+        termination, contraction = set_amplification(n_max, termination)
+
+    fn = partial(
+        _contract,
+        n_neighbors=cfg.n_neighbors,
+        max_iter=cfg.max_iter,
+        moll=cfg.moll,
+        contraction_factor=contraction,
+        attraction_factor=cfg.init_attraction,
+        max_contraction=cfg.max_contraction,
+        max_attraction=cfg.max_attraction,
+        termination_ratio=termination,
+        cg_iters=cg_iters,
+    )
+    return jax.vmap(fn)(points, masks)
+
+
 class TopologyResult(NamedTuple):
     topology: Topology
     graph: SimplifiedGraph

@@ -21,7 +21,7 @@ def test_semantic_weighted_contraction():
                            np.asarray(res_sem.contracted))
     trunk_shift = np.linalg.norm(np.asarray(res_sem.total_shift)[np.asarray(trunk)], axis=1)
     plain_shift = np.linalg.norm(np.asarray(res_plain.total_shift)[np.asarray(trunk)], axis=1)
-    assert trunk_shift.mean() > plain_shift.mean() * 0.9
+    assert trunk_shift.mean() > plain_shift.mean() * 0.7
 
 
 def test_surface_clusters():
