@@ -82,15 +82,17 @@ def main() -> int:
         timings["isolation_s"] = time.perf_counter() - t0
         t1 = time.perf_counter()
 
-        # 2. largest tree -> voxel clean -> compact -> contraction skeleton
+        # 2. largest tree -> compact once -> voxel ladder on the compacted
+        # buffer (running the ladder masked over the full 1M-capacity array
+        # paid ~0.5 s per rung for an 1/8-sized tree)
         uniq, counts = np.unique(lab_np[lab_np >= 0], return_counts=True)
         best = uniq[np.argmax(counts)]
-        tree_mask = jnp.asarray(lab_np == best)
+        tree_pts, tree_mask_c, _ = compact_rows(pts, jnp.asarray(lab_np == best))
         voxel = 0.03
-        p2, m2, _ = voxel_downsample(pts, voxel, tree_mask)
+        p2, m2, _ = voxel_downsample(tree_pts, voxel, tree_mask_c)
         while int(jnp.sum(m2)) > args.skeleton_points and voxel < 0.5:
             voxel *= 1.6
-            p2, m2, _ = voxel_downsample(pts, voxel, tree_mask)
+            p2, m2, _ = voxel_downsample(tree_pts, voxel, tree_mask_c)
         p2, m2, _ = compact_rows(p2, m2)
         skel, topo, cyls_skel = skeletonize(p2, m2, cfg.skeletonize)
         _ = int(jnp.sum(cyls_skel.mask))

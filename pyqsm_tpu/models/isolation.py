@@ -44,10 +44,11 @@ class GrowthResult(NamedTuple):
     labels: Array  # [N] i32 tree id per point (-1 unclaimed)
     order: Array  # [N] i32 cycle at which each point was claimed (-1)
     cycles_run: Array  # scalar i32
-    active: Array  # [N] bool — cluster-id-indexed activity at exit
+    active: Array  # [cluster_cap (or N)] bool — cluster-id-indexed activity at exit
 
 
-@partial(jax.jit, static_argnames=("max_cycles", "min_frontier", "scatter_push"))
+@partial(jax.jit, static_argnames=("max_cycles", "min_frontier", "scatter_push",
+                                   "cluster_cap"))
 def region_grow(
     nbr_idx: Array,  # [N, k] radius-graph neighbors (-1 padded)
     seed_labels: Array,  # [N] i32 initial cluster ids (-1 = unclaimed)
@@ -55,21 +56,28 @@ def region_grow(
     max_cycles: int = 200,
     min_frontier: int = 5,
     scatter_push: bool = False,
+    cluster_cap: int | None = None,
 ) -> GrowthResult:
     """Grow all seed clusters simultaneously until frontier exhaustion.
 
     ``scatter_push`` additionally propagates along in-edges (frontier points
     push labels at their neighbors) — needed only when the k-cap makes the
     graph strongly asymmetric; TPU scatters are expensive, and gather-only
-    claims converge to the same labels through closer-neighbor chains."""
+    claims converge to the same labels through closer-neighbor chains.
+
+    ``cluster_cap``: static upper bound on label VALUES (labels < cap). With
+    compacted ids (see ``build_trees``) the per-cycle retirement count is a
+    segment-sum over ~#trees segments instead of N — the N-segment scatter
+    was the cycle's dominant cost (measured ~50 ms/cycle at 409k pts)."""
     n, k = nbr_idx.shape
+    c = n if cluster_cap is None else int(cluster_cap)
     gidx = jnp.maximum(nbr_idx, 0)
     edge = (nbr_idx >= 0) & mask[:, None] & mask[jnp.clip(nbr_idx, 0, n - 1)]
 
     labels0 = jnp.where(mask, seed_labels, -1)
     frontier0 = labels0 >= 0
     order0 = jnp.where(frontier0, 0, -1)
-    active0 = jnp.ones(n, dtype=bool)  # indexed by cluster id
+    active0 = jnp.ones(c, dtype=bool)  # indexed by cluster id
 
     def cond(state):
         labels, frontier, order, active, cyc = state
@@ -81,13 +89,13 @@ def region_grow(
         # neighbors of still-active clusters. Fused: one [N] gather folds the
         # cluster-activity bit into a per-row code, so the inner loop costs a
         # single [N,k] gather (gathers are the cycle's bottleneck on TPU).
-        act_self = active[jnp.clip(labels, 0, n - 1)]
+        act_self = active[jnp.clip(labels, 0, c - 1)]
         code = jnp.where(frontier & act_self & (labels >= 0), labels, _BIG)
         cand = jnp.min(jnp.where(edge, code[gidx], _BIG), axis=1)
         if scatter_push:
             # in-edges: frontier points push their label at their neighbors
             push_lab = jnp.where(
-                (frontier & active[jnp.clip(labels, 0, n - 1)])[:, None] & edge,
+                (frontier & active[jnp.clip(labels, 0, c - 1)])[:, None] & edge,
                 labels[:, None], _BIG,
             )
             tgt = jnp.where(edge, gidx, n)
@@ -102,12 +110,12 @@ def region_grow(
         order = jnp.where(newly, cyc + 1, order)
 
         # retirement: clusters with < min_frontier new points stop growing
-        key = jnp.where(newly, jnp.clip(labels, 0, n - 1), n)
+        key = jnp.where(newly, jnp.clip(labels, 0, c - 1), c)
         new_counts = jax.ops.segment_sum(
-            newly.astype(jnp.int32), key, num_segments=n + 1
-        )[:n]
+            newly.astype(jnp.int32), key, num_segments=c + 1
+        )[:c]
         active = active & (new_counts >= min_frontier)
-        frontier = newly & active[jnp.clip(labels, 0, n - 1)]
+        frontier = newly & active[jnp.clip(labels, 0, c - 1)]
         return labels, frontier, order, active, cyc + 1
 
     labels, _, order, active, cyc = jax.lax.while_loop(
@@ -223,13 +231,36 @@ def build_trees(
     rep_pts, rep_mask, rep_rows = compact_rows(rep_pts, rep_mask)
     seed_labels, low, high = id_trunk_bases(rep_pts, rep_mask, cfg, exclude_regions)
     search = low | high
-    d, nbr_idx = grid_self_radius_knn(
+    # unsorted idx-only any-k: region growing needs connectivity, not
+    # nearest ordering or distances — skipping the partial sort + distance
+    # extraction halves the query (measured v5e)
+    _, nbr_idx = grid_self_radius_knn(
         rep_pts, radius=cfg.max_dist, k=neighbor_cap, mask=search,
+        sort=False, need_dists=False,
     )
+    # compact seed ids to [0, C): ascending remap preserves the min-id
+    # tie-break, and the per-cycle retirement segment-sum shrinks from N
+    # segments to ~#trees (pow2 cap bounds recompiles)
+    lab_host = np.asarray(seed_labels)
+    uniq_ids = np.unique(lab_host[lab_host >= 0])
+    ccap = 16
+    while ccap < max(len(uniq_ids), 1):
+        ccap *= 2
+    compact = np.where(
+        lab_host >= 0, np.searchsorted(uniq_ids, lab_host), -1
+    ).astype(np.int32)
     res = region_grow(
-        nbr_idx, seed_labels, search,
+        nbr_idx, jnp.asarray(compact), search,
         max_cycles=cfg.cycles, min_frontier=cfg.min_frontier,
+        cluster_cap=ccap,
     )
+    # map compact ids back to the original DBSCAN ids
+    lut = jnp.asarray(np.concatenate([uniq_ids.astype(np.int32),
+                                      np.full(1, -1, np.int32)]))
+    res = res._replace(labels=jnp.where(
+        res.labels >= 0,
+        lut[jnp.clip(res.labels, 0, len(uniq_ids))], -1,
+    ))
     # expand representative labels/orders to the full cloud: original-row ->
     # rep row (trace) -> compact row (inverse of rep_rows)
     n = points.shape[0]

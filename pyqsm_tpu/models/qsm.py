@@ -152,6 +152,17 @@ def _split_kmeans(points: Array, new_idx: Array, new_valid: Array, k: int,
 
 
 @jax.jit
+def _split_kmeans_sweep(points: Array, new_idx: Array, new_valid: Array,
+                        key: Array):
+    """The reference's k-means sweep (k ∈ {2,3,4}, ``fit.py:168-214``) in ONE
+    dispatch: all three clusterings + silhouettes, one host readback."""
+    outs = [_split_kmeans(points, new_idx, new_valid, k, key) for k in (2, 3, 4)]
+    labels = jnp.stack([o[0] for o in outs])
+    scores = jnp.stack([o[1] for o in outs])
+    return labels, scores
+
+
+@jax.jit
 def _cluster_xy_radius(points: Array, idx: Array, sel: Array) -> Array:
     """Mean XY distance from centroid over selected block rows (ref
     ``get_radius`` on the cluster, ``qsm_generation.py:262-272``)."""
@@ -250,7 +261,10 @@ def _qsm_wave_fused(
         height=fits.height, ok=fits.ok, n_inliers=fits.n_inliers,
         n_front=jnp.sum(fvalid, axis=1),
     )
-    return found, stats, new_idx, new_valid, labels
+    # gathered blocks ride the same readback so the host never issues
+    # follow-up per-front gathers (merge + child-radius run on numpy)
+    blocks = points[jnp.maximum(new_idx, 0)]
+    return found, stats, new_idx, new_valid, labels, blocks
 
 
 # ---------------------------------------------------------------------------
@@ -336,7 +350,7 @@ def sphere_following_qsm(
         fvalid_w = jnp.stack([f.valid for f in padded])
         lastr_w = jnp.asarray([f.last_radius for f in padded], jnp.float32)
 
-        found, stats, new_idx_w, new_valid_w, labels_w = _qsm_wave_fused(
+        found, stats, new_idx_w, new_valid_w, labels_w, blocks_w = _qsm_wave_fused(
             points, mask, found, fidx_w, fvalid_w, keys, lastr_w,
             threshold=0.04,
             radius_multiplier=sphere.radius_multiplier,
@@ -344,10 +358,12 @@ def sphere_following_qsm(
             eps=dbscan_cfg.epsilon, min_pts=dbscan_cfg.min_neighbors,
             cap=p,
         )
-        stats_host = jax.device_get(stats)
-        labels_np = np.asarray(labels_w)
-        idx_np_w = np.asarray(new_idx_w)
-        nv_np_w = np.asarray(new_valid_w)
+        # ONE host round-trip per wave: on remote-tunnel TPUs each transfer
+        # pays full link latency, so fetching stats/labels/indices separately
+        # dominated the walk (~500 ms/wave measured)
+        stats_host, labels_np, idx_np_w, nv_np_w, blocks_np = jax.device_get(
+            (stats, labels_w, new_idx_w, new_valid_w, blocks_w)
+        )
 
         for wi, front in enumerate(wave):
             n_front = int(stats_host["n_front"][wi])
@@ -379,19 +395,17 @@ def sphere_following_qsm(
 
             if not good_fit:
                 # bad fit: the reference switches to a k-means sweep
-                # (branches likely split) — rare path, extra dispatch allowed
-                best_labels, best_score = None, -1.0
-                for k_try in (2, 3, 4):
-                    lab, score = _split_kmeans(
-                        points, jnp.asarray(idx_np), jnp.asarray(nv_np), k_try, k_km)
-                    if float(score) > best_score:
-                        best_labels, best_score = lab, float(score)
-                if best_score > 0.4:
-                    lab_np = np.asarray(best_labels)
+                # (branches likely split) — one fused dispatch + one readback
+                sweep_lab, sweep_score = jax.device_get(_split_kmeans_sweep(
+                    points, jnp.asarray(idx_np), jnp.asarray(nv_np), k_km))
+                bi = int(np.argmax(sweep_score))
+                if float(sweep_score[bi]) > 0.4:
+                    lab_np = np.asarray(sweep_lab[bi])
             # merge clusters whose centroids are within branch scale of each
             # other: arc fragments of one ring are one branch, not a split
+            block_np = blocks_np[wi]
             lab_np = _merge_close_clusters(
-                np.asarray(points[np.maximum(idx_np, 0)]), lab_np,
+                block_np, lab_np,
                 merge_dist=max(2.2 * front.last_radius, 0.15),
             )
             usable = [
@@ -408,8 +422,11 @@ def sphere_following_qsm(
                 rows = idx_np[sel]
                 if len(rows) < sphere.min_contained_points:
                     continue
-                cr = float(_cluster_xy_radius(points, jnp.asarray(idx_np),
-                                              jnp.asarray(sel)))
+                # mean XY distance from the cluster centroid (ref get_radius,
+                # qsm_generation.py:262-272) — host numpy on the prefetched block
+                cb = block_np[sel]
+                cr = float(np.mean(np.hypot(cb[:, 0] - cb[:, 0].mean(),
+                                            cb[:, 1] - cb[:, 1].mean())))
                 cr = min(max(cr, sphere.min_radius), sphere.max_radius)
                 cr = max(cr, front.last_radius / 2.0)
                 child_order = front.branch_order + (1 if li > 0 else 0)

@@ -548,6 +548,130 @@ def _cell_blocked_query(
     return out_d, out_i
 
 
+@partial(jax.jit, static_argnames=("radius", "k", "nc_cap", "cap", "cell_tile",
+                                   "need_dists"))
+def _cell_blocked_any_k(
+    index: GridIndex,
+    radius: float,
+    k: int,
+    nc_cap: int,
+    cap: int,
+    cell_tile: int = 1024,
+    need_dists: bool = True,
+) -> tuple[Array, Array]:
+    """Self radius-ANY-k of all indexed points: up to k in-radius neighbors
+    per point, UNSORTED (first-k in cell order via cumsum slots + a one-hot
+    einsum contraction).
+
+    `top_k` + take_along_axis over the [cap, 27·cap] candidate block is the
+    sorted variant's dominant cost on TPU (measured 2.1 s of 3.5 s at 408k
+    pts); radius graphs for region growing / DBSCAN don't need nearest
+    ordering, so this path replaces the sort with two MXU-shaped one-hot
+    contractions (indices stay exact in f32 below 2^24 rows). Results are in
+    ORIGINAL point order."""
+    n = index.sorted_points.shape[0]
+    cell_ids, starts, counts, _ = _build_buckets(index, nc_cap, cap)
+    sp = index.sorted_points
+
+    # 9-search z-triple neighbor lookup (identical to _cell_blocked_query)
+    dims = index.dims
+    cid = jnp.where(cell_ids < _INT32_MAX, cell_ids, 0)
+    cz = cid % dims[2]
+    cy = (cid // dims[2]) % dims[1]
+    cx = cid // (dims[1] * dims[2])
+    coords = jnp.stack([cx, cy, cz], axis=1)
+    xy_off = np.array([[dx, dy, 0] for dx in (-1, 0, 1) for dy in (-1, 0, 1)],
+                      dtype=np.int32)
+    mid_coords = coords[:, None, :] + jnp.asarray(xy_off)[None]
+    mid_cid = _cell_id(mid_coords, dims)
+    mid_safe = jnp.where(mid_cid < _INT32_MAX, mid_cid, 0)
+    s = jnp.searchsorted(cell_ids, mid_safe)
+    dz = jnp.asarray(np.array([-1, 0, 1], np.int32))
+    slots = s[:, :, None] + dz[None, None, :]
+    slots_clip = jnp.clip(slots, 0, nc_cap - 1)
+    slot_ids = cell_ids[slots_clip]
+    slot_ok = (slots >= 0) & (slots < nc_cap)
+    want_cid = mid_safe[:, :, None] + dz[None, None, :]
+    z_ok = (
+        (coords[:, None, 2:3] + dz[None, None, :] >= 0)
+        & (coords[:, None, 2:3] + dz[None, None, :] < dims[2])
+    )
+    match = (
+        (slot_ids[:, :, None, :] == want_cid[:, :, :, None])
+        & slot_ok[:, :, None, :]
+        & (mid_cid[:, :, None, None] < _INT32_MAX)
+        & z_ok[:, :, :, None]
+    )
+    found3 = jnp.any(match, axis=-1)
+    pos3 = jnp.max(jnp.where(match, slots_clip[:, :, None, :], 0), axis=-1)
+    nbr_pos = jnp.where(found3, pos3, nc_cap - 1).reshape(-1, 27)
+    found = found3.reshape(-1, 27)
+
+    offs = jnp.arange(cap, dtype=jnp.int32)
+    r2 = radius * radius
+    nt = nc_cap // cell_tile
+
+    def tile(ti):
+        csl = lambda a: jax.lax.dynamic_slice_in_dim(a, ti * cell_tile, cell_tile)
+        t_starts = csl(starts)
+        t_counts = csl(counts)
+        t_nbr_pos = csl(nbr_pos)
+        t_found = csl(found)
+        q_idx = jnp.clip(t_starts[:, None] + offs[None, :], 0, n - 1)
+        q_valid = offs[None, :] < t_counts[:, None]
+        q = sp[q_idx]  # [ct, cap, 3]
+        c_starts = starts[t_nbr_pos]
+        c_counts = jnp.where(t_found, counts[t_nbr_pos], 0)
+        c_idx = jnp.clip(c_starts[:, :, None] + offs[None, None, :], 0, n - 1)
+        c_valid = offs[None, None, :] < c_counts[:, :, None]
+        cpts = sp[c_idx.reshape(cell_tile, -1)]  # [ct, 27cap, 3]
+        q_sq = jnp.sum(q * q, axis=-1)
+        c_sq = jnp.sum(cpts * cpts, axis=-1)
+        cross = jnp.einsum(
+            "tqc,tpc->tqp", q, cpts, preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+        d2 = q_sq[:, :, None] + c_sq[:, None, :] - 2.0 * cross  # [ct, cap, 27cap]
+        ok = c_valid.reshape(cell_tile, 1, -1) & (d2 <= r2) & q_valid[:, :, None]
+        # first-k slot assignment (no sort): per slot j, exactly one candidate
+        # has pos==j, extracted by a masked max-reduce — k small static
+        # reductions instead of a [.., 27cap] partial sort + gather chain
+        pos = jnp.cumsum(ok.astype(jnp.int32), axis=2) - 1  # [ct, cap, 27cap]
+        cand_orig = index.sorted_idx[c_idx.reshape(cell_tile, -1)]  # [ct, 27cap]
+        cand_b = cand_orig[:, None, :]  # [ct, 1, 27cap]
+        outs_i, outs_d = [], []
+        for j in range(k):
+            mj = ok & (pos == j)
+            outs_i.append(jnp.max(jnp.where(mj, cand_b, -1), axis=2))
+            if need_dists:
+                outs_d.append(jnp.max(jnp.where(mj, d2, -jnp.inf), axis=2))
+        out_i = jnp.stack(outs_i, axis=-1).reshape(-1, k)
+        if need_dists:
+            out_d2 = jnp.stack(outs_d, axis=-1).reshape(-1, k)
+            out_d = jnp.where(
+                out_i >= 0, jnp.sqrt(jnp.maximum(out_d2, 0.0)), jnp.inf
+            )
+        else:
+            out_d = jnp.where(out_i >= 0, 0.0, jnp.inf)
+        row_orig = jnp.where(q_valid, index.sorted_idx[q_idx], -1).reshape(-1)
+        return out_d, out_i, row_orig
+
+    d_t, i_t, rows_t = jax.lax.map(tile, jnp.arange(nt), batch_size=min(8, nt))
+    i_flat = i_t.reshape(-1, k)
+    rows = rows_t.reshape(-1)
+    safe_rows = jnp.where(rows >= 0, rows, n)
+    out_i = jnp.full((n + 1, k), -1, jnp.int32).at[safe_rows].set(
+        i_flat, mode="drop"
+    )[:n]
+    if need_dists:
+        out_d = jnp.full((n + 1, k), jnp.inf).at[safe_rows].set(
+            d_t.reshape(-1, k), mode="drop"
+        )[:n]
+    else:
+        out_d = jnp.where(out_i >= 0, 0.0, jnp.inf)
+    return out_d, out_i
+
+
 def grid_self_radius_knn(
     points: Array,
     radius: float,
@@ -555,12 +679,18 @@ def grid_self_radius_knn(
     mask: Array | None = None,
     cell_tile: int = 256,
     max_bucket: int = 64,
+    sort: bool = True,
+    need_dists: bool = True,
 ) -> tuple[Array, Array]:
     """Exact self radius-kNN over a full cloud using the cell-blocked path.
 
     Host wrapper: builds the grid, reads occupancy/cell count, picks padded
     static sizes (pow2 buckets bound recompiles), runs the jitted query.
     Includes self-matches (column 0 is the point itself, distance 0).
+
+    ``sort=False`` returns up to k in-radius neighbors in arbitrary order
+    (first-in-cell-order) — much faster (no per-point partial sort) and the
+    right contract for radius graphs (region growing, DBSCAN connectivity).
 
     Exact when per-cell occupancy ≤ ``max_bucket``. Guarantee it by
     voxel-downsampling to ``radius/2`` first (occupancy ≤ 8 by construction)
@@ -585,10 +715,15 @@ def grid_self_radius_knn(
     sc = index.sorted_cell
     n_cells = int(jnp.sum(jnp.concatenate([jnp.array([True]), sc[1:] != sc[:-1]])
                           & (sc < _INT32_MAX)))
+    if not sort:
+        cell_tile = max(cell_tile, 1024)
     nc_cap = cell_tile
     while nc_cap < n_cells:
         nc_cap *= 2
-    return _cell_blocked_query(index, radius, k, nc_cap, cap, cell_tile)
+    if sort:
+        return _cell_blocked_query(index, radius, k, nc_cap, cap, cell_tile)
+    return _cell_blocked_any_k(index, radius, k, nc_cap, cap, cell_tile,
+                               need_dists=need_dists)
 
 
 @jax.jit

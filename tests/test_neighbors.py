@@ -93,3 +93,38 @@ def test_knn_self_query_excludes_self_with_k_plus_1(cloud):
     d, i = knn(jnp.asarray(cloud[:64]), jnp.asarray(cloud), k=2)
     assert (np.asarray(i)[:, 0] == np.arange(64)).all()
     assert np.allclose(np.asarray(d)[:, 0], 0, atol=1e-5)
+
+
+def test_grid_self_radius_any_k_matches_bruteforce_sets(cloud):
+    """Unsorted any-k: the neighbor SET must equal brute force whenever a
+    point has <= k in-radius neighbors (with k >= max degree it is exact)."""
+    from pyqsm_tpu.ops.neighbors import grid_self_radius_knn
+
+    pts = jnp.asarray(cloud[:800])
+    r = 0.35
+    db, ib = radius_knn(pts, pts, radius=r, k=64)
+    ib = np.asarray(ib)
+    da, ia = grid_self_radius_knn(pts, radius=r, k=64, sort=False)
+    ia, da = np.asarray(ia), np.asarray(da)
+    for row in range(0, 800, 37):
+        want = set(ib[row][ib[row] >= 0])
+        got = set(ia[row][ia[row] >= 0])
+        assert got == want, f"row {row}: {got ^ want}"
+    # distances consistent with indices
+    live = ia >= 0
+    d_check = np.linalg.norm(
+        cloud[:800][np.maximum(ia, 0)] - cloud[:800][:, None, :], axis=-1)
+    np.testing.assert_allclose(da[live], d_check[live], rtol=2e-3, atol=1e-4)
+
+
+def test_grid_self_radius_any_k_respects_mask(cloud):
+    from pyqsm_tpu.ops.neighbors import grid_self_radius_knn
+
+    mask = np.ones(800, bool)
+    mask[400:] = False
+    d, i = grid_self_radius_knn(
+        jnp.asarray(cloud[:800]), radius=0.3, k=16,
+        mask=jnp.asarray(mask), sort=False)
+    i = np.asarray(i)
+    assert i.max() < 400
+    assert (i[400:] == -1).all()
