@@ -99,11 +99,14 @@ def main() -> int:
         timings["skeleton_s"] = time.perf_counter() - t1
         t2 = time.perf_counter()
 
-        # 3. sphere-following QSM on the same tree (trunk seed)
+        # 3. sphere-following QSM on the same tree. Seed = trunk-base height
+        # slice (ground + 0.5 m, the reference's crop in get_stem_pcd) — a
+        # z-percentile seed spans the whole trunk column on canopy-dominated
+        # clouds and strands the walk at its own centroid.
         z = np.asarray(p2[:, 2])
         m2_np = np.asarray(m2)
-        rows = np.flatnonzero(
-            m2_np & (z < np.nanpercentile(np.where(m2_np, z, np.nan), 3)))
+        zmin = float(np.min(np.where(m2_np, z, np.inf)))
+        rows = np.flatnonzero(m2_np & (z < zmin + 0.5))
         seed = np.full(1024, -1, np.int32)
         seed[: min(len(rows), 1024)] = rows[:1024]
         qsm = sphere_following_qsm(

@@ -116,9 +116,12 @@ def _split_dbscan(
 ) -> Array:
     """DBSCAN within the new-points block; returns labels [cap].
 
-    eps adapts upward to the block's sampling density (2.5× the mean NN
-    distance) so sparse shells don't shatter into arc fragments — the
-    reference's fixed eps=0.1 stalls its walk on sparser clouds."""
+    Density-adaptive, because the walk runs on resolution-laddered clouds
+    the reference never sees: eps grows to 2.5× the block's mean NN distance
+    (fixed eps=0.1 shatters sparse shells into arc fragments), and
+    min_samples shrinks to 15% of the block when the block is small (the
+    config value assumes dense full-res trunks; on a 40-point shell it marks
+    EVERY point noise and starves the branch)."""
     from pyqsm_tpu.ops.neighbors import knn
 
     block = points[jnp.maximum(new_idx, 0)]
@@ -127,11 +130,19 @@ def _split_dbscan(
     n_live = jnp.maximum(jnp.sum(new_valid), 1)
     mean_nn = jnp.sum(jnp.where(new_valid, nn, 0.0)) / n_live
     eps_eff = jnp.maximum(eps, 2.5 * mean_nn)
+    min_pts_eff = jnp.minimum(
+        jnp.int32(min_pts),
+        jnp.maximum(jnp.int32(3), (0.15 * n_live).astype(jnp.int32)),
+    )
     d, i = knn(block, block, cap_nbrs, query_mask=new_valid, point_mask=new_valid)
     ok = d <= eps_eff
     d = jnp.where(ok, d, jnp.inf)
     i = jnp.where(ok, i, -1)
-    return dbscan_from_neighbors(i, d, new_valid, min_samples=min_pts)
+    # min_pts_eff is data-dependent -> pass an explicit core mask (the
+    # min_samples parameter is static)
+    n_nbrs = jnp.sum((i >= 0) & new_valid[:, None], axis=1)
+    core = new_valid & (n_nbrs >= min_pts_eff)
+    return dbscan_from_neighbors(i, d, new_valid, core=core)
 
 
 @partial(jax.jit, static_argnames=("k", "score_cap"))
@@ -267,6 +278,103 @@ def _qsm_wave_fused(
     return found, stats, new_idx, new_valid, labels, blocks
 
 
+@partial(jax.jit, static_argnames=("cap", "chain_steps", "min_pts",
+                                   "min_contained", "n_hypotheses"))
+def _qsm_chain_fused(
+    points: Array, mask: Array, found: Array,
+    fidx: Array, fvalid: Array, keys: Array,  # [P], [P], [S, 2]
+    last_radius: Array,
+    threshold: float, radius_multiplier: float,
+    min_radius: float, max_radius: float,
+    eps: float, min_pts: int, min_contained: int,
+    bad_fit_radius_factor: float,
+    cap: int, chain_steps: int = 4, n_hypotheses: int = 512,
+):
+    """Advance ONE front through up to ``chain_steps`` sequential sphere
+    steps in a single dispatch. The walk's trunk/branch phases are chains of
+    single fronts, so the per-wave host round-trip (~300 ms on a tunneled
+    TPU) dominated; here the single-child advance decision (exactly one
+    usable cluster after the split, noise re-attached within branch scale)
+    runs device-side, and the host only sees fragmentation points."""
+    n = points.shape[0]
+    per = {k: [] for k in ("fidx", "fvalid", "lr", "good", "advanced",
+                           "radius", "axis", "center", "height",
+                           "new_idx", "new_valid", "labels", "blocks",
+                           "child_r")}
+    alive = jnp.any(fvalid)
+    for s in range(chain_steps):
+        fit = _fit_front(points, fidx, fvalid, keys[s], threshold=threshold,
+                         max_radius=last_radius * radius_multiplier,
+                         min_radius=min_radius, n_hypotheses=n_hypotheses)
+        new_idx, new_valid, _, _ = _ball_new(
+            points, mask, found, fidx, fvalid,
+            radius_multiplier, min_radius, max_radius, last_radius, cap=cap,
+        )
+        new_valid = new_valid & alive
+        labels = _split_dbscan(points, new_idx, new_valid,
+                               eps=eps, min_pts=min_pts)
+        found = found.at[jnp.maximum(new_idx, 0)].set(
+            new_valid | found[jnp.maximum(new_idx, 0)]
+        )
+        blocks = points[jnp.maximum(new_idx, 0)]
+        n_front = jnp.sum(fvalid)
+        n_new = jnp.sum(new_valid)
+        good = (
+            fit.ok
+            & (fit.radius < bad_fit_radius_factor * last_radius)
+            & (fit.n_inliers >= jnp.maximum(
+                min_contained, (0.25 * n_front).astype(jnp.int32)))
+        )
+        # per-cluster sizes; usable = clusters big enough to walk
+        lab_key = jnp.where(new_valid & (labels >= 0),
+                            jnp.clip(labels, 0, cap - 1), cap)
+        counts = jax.ops.segment_sum(
+            jnp.ones(cap, jnp.int32), lab_key, num_segments=cap + 1)[:cap]
+        usable = counts >= min_contained
+        n_usable = jnp.sum(usable)
+        best_lab = jnp.argmax(counts)
+        sel = new_valid & (labels == best_lab)
+        # re-attach noise within branch scale of the best centroid
+        w = sel.astype(points.dtype)
+        n_sel = jnp.maximum(jnp.sum(w), 1.0)
+        cent = jnp.sum(blocks * w[:, None], axis=0) / n_sel
+        dist_c = jnp.linalg.norm(blocks - cent[None, :], axis=-1)
+        near = jnp.maximum(2.2 * last_radius, 0.3)
+        sel = sel | (new_valid & (labels < 0) & (dist_c <= near))
+        # child radius: mean XY distance from the (re-attached) centroid
+        w = sel.astype(points.dtype)
+        n_sel = jnp.maximum(jnp.sum(w), 1.0)
+        cx = jnp.sum(blocks[:, 0] * w) / n_sel
+        cy = jnp.sum(blocks[:, 1] * w) / n_sel
+        dxy = jnp.sqrt((blocks[:, 0] - cx) ** 2 + (blocks[:, 1] - cy) ** 2)
+        child_r = jnp.clip(jnp.sum(dxy * w) / n_sel, min_radius, max_radius)
+        child_r = jnp.maximum(child_r, last_radius / 2.0)
+        advanced = alive & (n_new >= min_contained) & (n_usable == 1)
+        # compact the child's rows into a fresh front block
+        order = jnp.argsort(jnp.where(sel, 0, 1), stable=True)
+        child_idx = jnp.where(
+            jnp.arange(cap) < jnp.sum(sel), new_idx[order], -1
+        ).astype(jnp.int32)
+        child_valid = child_idx >= 0
+
+        per["fidx"].append(fidx); per["fvalid"].append(fvalid)
+        per["lr"].append(last_radius)
+        per["good"].append(good & alive); per["advanced"].append(advanced)
+        per["radius"].append(fit.radius); per["axis"].append(fit.axis)
+        per["center"].append(fit.center); per["height"].append(fit.height)
+        per["new_idx"].append(new_idx); per["new_valid"].append(new_valid)
+        per["labels"].append(labels); per["blocks"].append(blocks)
+        per["child_r"].append(child_r)
+
+        fidx = jnp.where(advanced, child_idx, -1)
+        fvalid = jnp.where(advanced, child_valid, False)
+        last_radius = child_r
+        alive = advanced
+
+    stacked = {k: jnp.stack(v) for k, v in per.items()}
+    return found, stacked, fidx, fvalid, last_radius
+
+
 # ---------------------------------------------------------------------------
 # worklist orchestration
 # ---------------------------------------------------------------------------
@@ -334,7 +442,129 @@ def sphere_following_qsm(
     wave_size = max(int(wave_size), 1)
     order_updates: list[tuple[np.ndarray, int]] = []
 
+    def process_front(last_radius, branch_order, cyl_id, good_fit,
+                      lab_np, idx_np, nv_np, block_np, k_km):
+        """Host fragmentation policy for one front's new points: k-means
+        sweep on bad fits, centroid merge, noise re-attach, children
+        enqueue. Shared by the wave path and the chain stop step."""
+        n_new = int(nv_np.sum())
+        if n_new < sphere.min_contained_points:
+            return
+        if not good_fit:
+            # bad fit: the reference switches to a k-means sweep
+            # (branches likely split) — one fused dispatch + one readback
+            sweep_lab, sweep_score = jax.device_get(_split_kmeans_sweep(
+                points, jnp.asarray(idx_np), jnp.asarray(nv_np), k_km))
+            bi = int(np.argmax(sweep_score))
+            if float(sweep_score[bi]) > 0.4:
+                lab_np = np.asarray(sweep_lab[bi])
+        # merge clusters whose centroids are within branch scale of each
+        # other: arc fragments of one ring are one branch, not a split
+        lab_np = _merge_close_clusters(
+            block_np, lab_np,
+            merge_dist=max(2.2 * last_radius, 0.15),
+        )
+        usable = [
+            lab for lab in np.unique(lab_np[lab_np >= 0])
+            if (lab_np == lab).sum() >= sphere.min_contained_points
+        ]
+        if not usable:
+            # fragmentation fallback: advance with the whole new set as
+            # one front rather than stalling the branch
+            lab_np = np.where(nv_np, 0, -1)
+            usable = [0]
+        else:
+            # re-attach DBSCAN noise to the nearest usable cluster within
+            # branch scale: on laddered (sparse) clouds the split marks
+            # shell stragglers noise, and dropping them starves the walk
+            noise = nv_np & (lab_np < 0)
+            if noise.any():
+                cents = np.stack([
+                    block_np[lab_np == lab].mean(axis=0) for lab in usable
+                ])
+                dd = np.linalg.norm(
+                    block_np[noise][:, None, :] - cents[None, :, :], axis=-1)
+                nearest = np.argmin(dd, axis=1)
+                close = dd[np.arange(len(nearest)), nearest] <= max(
+                    2.2 * last_radius, 0.3)
+                tgt = np.where(close, np.asarray(usable)[nearest], -1)
+                lab_np = lab_np.copy()
+                lab_np[np.flatnonzero(noise)] = tgt
+        for li, lab in enumerate(usable):
+            sel = lab_np == lab
+            rows = idx_np[sel]
+            if len(rows) < sphere.min_contained_points:
+                continue
+            # mean XY distance from the cluster centroid (ref get_radius,
+            # qsm_generation.py:262-272) — host numpy on the prefetched block
+            cb = block_np[sel]
+            cr = float(np.mean(np.hypot(cb[:, 0] - cb[:, 0].mean(),
+                                        cb[:, 1] - cb[:, 1].mean())))
+            cr = min(max(cr, sphere.min_radius), sphere.max_radius)
+            cr = max(cr, last_radius / 2.0)
+            child_order = branch_order + (1 if li > 0 else 0)
+            order_updates.append((rows.copy(), child_order))
+            fidx, fvalid = pad_front(rows)
+            queue.append(Front(fidx, fvalid, cr, child_order, cyl_id))
+
+    chain_steps = 4
+
     while queue and steps < max_steps and len(cyls) < max_cylinders:
+        if len(queue) == 1 and chain_steps > 1:
+            # single live front (trunk/branch climb): advance up to
+            # chain_steps sphere steps in ONE dispatch + ONE readback —
+            # the per-dispatch tunnel round-trip dominated this phase
+            front = queue.pop(0)
+            key, k_fit, k_km = jax.random.split(key, 3)
+            keys_c = jax.random.split(k_fit, chain_steps)
+            found, st_d, f_idx, f_valid, f_lr = _qsm_chain_fused(
+                points, mask, found, front.idx, front.valid, keys_c,
+                jnp.asarray(front.last_radius, jnp.float32),
+                threshold=0.04,
+                radius_multiplier=sphere.radius_multiplier,
+                min_radius=sphere.min_radius, max_radius=sphere.max_radius,
+                eps=dbscan_cfg.epsilon, min_pts=dbscan_cfg.min_neighbors,
+                min_contained=sphere.min_contained_points,
+                bad_fit_radius_factor=sphere.bad_fit_radius_factor,
+                cap=p, chain_steps=chain_steps,
+            )
+            st, f_idx_np, f_valid_np, f_lr_np = jax.device_get(
+                (st_d, f_idx, f_valid, f_lr))
+            parent = front.parent
+            order = front.branch_order
+            stopped = False
+            for s in range(chain_steps):
+                if int(st["fvalid"][s].sum()) == 0:
+                    stopped = True
+                    break
+                steps += 1
+                good = bool(st["good"][s])
+                if good:
+                    cyls.append(dict(
+                        center=st["center"][s], axis=st["axis"][s],
+                        height=float(st["height"][s]),
+                        radius=float(st["radius"][s]),
+                        branch_order=order, parent=parent,
+                    ))
+                    parent = len(cyls) - 1
+                if bool(st["advanced"][s]):
+                    rows = st["new_idx"][s][st["new_valid"][s]]
+                    if len(rows):
+                        order_updates.append((rows.copy(), order))
+                    continue
+                # chain stopped: run the host fragmentation policy here
+                process_front(float(st["lr"][s]), order, parent, good,
+                              st["labels"][s].copy(), st["new_idx"][s],
+                              st["new_valid"][s], st["blocks"][s], k_km)
+                stopped = True
+                break
+            if not stopped and f_valid_np.any():
+                # every step advanced: re-enqueue the live chain tail
+                queue.append(Front(jnp.asarray(f_idx_np),
+                                   jnp.asarray(f_valid_np),
+                                   float(f_lr_np), order, parent))
+            continue
+
         # one fused dispatch per WAVE of up to `wave_size` fronts: vmapped
         # fit + ball + claim (conflicts resolved by wave order) + splits;
         # a single host readback drives all policy decisions. The wave is
@@ -385,54 +615,9 @@ def sphere_following_qsm(
                     )
                 )
             cyl_id = len(cyls) - 1 if good_fit else front.parent
-
-            lab_np = labels_np[wi]
-            idx_np = idx_np_w[wi]
-            nv_np = nv_np_w[wi]
-            n_new = int(nv_np.sum())
-            if n_new < sphere.min_contained_points:
-                continue
-
-            if not good_fit:
-                # bad fit: the reference switches to a k-means sweep
-                # (branches likely split) — one fused dispatch + one readback
-                sweep_lab, sweep_score = jax.device_get(_split_kmeans_sweep(
-                    points, jnp.asarray(idx_np), jnp.asarray(nv_np), k_km))
-                bi = int(np.argmax(sweep_score))
-                if float(sweep_score[bi]) > 0.4:
-                    lab_np = np.asarray(sweep_lab[bi])
-            # merge clusters whose centroids are within branch scale of each
-            # other: arc fragments of one ring are one branch, not a split
-            block_np = blocks_np[wi]
-            lab_np = _merge_close_clusters(
-                block_np, lab_np,
-                merge_dist=max(2.2 * front.last_radius, 0.15),
-            )
-            usable = [
-                lab for lab in np.unique(lab_np[lab_np >= 0])
-                if (lab_np == lab).sum() >= sphere.min_contained_points
-            ]
-            if not usable:
-                # fragmentation fallback: advance with the whole new set as
-                # one front rather than stalling the branch
-                lab_np = np.where(nv_np, 0, -1)
-                usable = [0]
-            for li, lab in enumerate(usable):
-                sel = lab_np == lab
-                rows = idx_np[sel]
-                if len(rows) < sphere.min_contained_points:
-                    continue
-                # mean XY distance from the cluster centroid (ref get_radius,
-                # qsm_generation.py:262-272) — host numpy on the prefetched block
-                cb = block_np[sel]
-                cr = float(np.mean(np.hypot(cb[:, 0] - cb[:, 0].mean(),
-                                            cb[:, 1] - cb[:, 1].mean())))
-                cr = min(max(cr, sphere.min_radius), sphere.max_radius)
-                cr = max(cr, front.last_radius / 2.0)
-                child_order = front.branch_order + (1 if li > 0 else 0)
-                order_updates.append((rows.copy(), child_order))
-                fidx, fvalid = pad_front(rows)
-                queue.append(Front(fidx, fvalid, cr, child_order, cyl_id))
+            process_front(front.last_radius, front.branch_order, cyl_id,
+                          good_fit, labels_np[wi].copy(), idx_np_w[wi],
+                          nv_np_w[wi], blocks_np[wi], k_km)
 
     # apply branch-order writes in one batch at the end
     for rows, child_order in order_updates:
