@@ -109,3 +109,61 @@ def test_wave_conflict_resolution():
     )
     # wave_size=1 and wave_size=4 walk the same trunk: similar coverage
     assert abs(int(res1.found.sum()) - int(res.found.sum())) < 0.3 * int(res.found.sum())
+
+
+def test_split_dbscan_keeps_sparse_shell():
+    """Regression: on resolution-laddered clouds a ~40-pt ring shell must
+    survive the branch split as one usable cluster — the config min_neighbors
+    (tuned for dense full-res trunks) used to mark every point noise and
+    starve the walk after one step."""
+    from pyqsm_tpu.models.qsm import _split_dbscan
+    from pyqsm_tpu.config import Config
+
+    rng = np.random.default_rng(1)
+    th = rng.uniform(0, 2 * np.pi, 43)
+    zz = rng.uniform(0.5, 0.9, 43)
+    shell = np.stack([8 + 0.3 * np.cos(th), 8 + 0.3 * np.sin(th), zz], 1)
+    block = np.zeros((512, 3), np.float32)
+    block[:43] = shell
+    idx = np.full(512, -1, np.int32)
+    idx[:43] = np.arange(43)
+    cfg = Config()
+    lab = np.asarray(_split_dbscan(
+        jnp.asarray(block), jnp.asarray(idx), jnp.asarray(idx >= 0),
+        eps=cfg.dbscan.epsilon, min_pts=cfg.dbscan.min_neighbors))
+    live = lab[:43]
+    # at least one walkable cluster (>= min_contained_points): the old fixed
+    # min_samples produced zero clusters (all 43 points noise)
+    ids, counts = np.unique(live[live >= 0], return_counts=True)
+    assert len(ids) >= 1
+    assert counts.max() >= cfg.sphere.min_contained_points, (
+        ids, counts, (live < 0).sum())
+
+
+def test_chain_walk_climbs_sparse_trunk():
+    """Regression: the fused chain advance must climb a sparse trunk from a
+    base-slice seed (multiple cylinders, rising claims), not stall at its
+    own centroid."""
+    from pyqsm_tpu.models.qsm import sphere_following_qsm
+    from pyqsm_tpu.config import Config
+
+    rng = np.random.default_rng(2)
+    n = 1200
+    th = rng.uniform(0, 2 * np.pi, n)
+    z = rng.uniform(0, 6.0, n)
+    trunk = np.stack([0.3 * np.cos(th), 0.3 * np.sin(th), z], 1)
+    pts = jnp.asarray(trunk.astype(np.float32))
+    mask = jnp.ones(n, bool)
+    rows = np.flatnonzero(trunk[:, 2] < 0.5)
+    seed = np.full(256, -1, np.int32)
+    seed[: min(len(rows), 256)] = rows[:256]
+    cfg = Config()
+    qsm = sphere_following_qsm(
+        pts, mask, jnp.asarray(seed), jnp.asarray(seed >= 0), 0.3,
+        sphere=cfg.sphere, dbscan_cfg=cfg.dbscan,
+        block_size=256, max_steps=24)
+    # before the adaptive split the walk produced ONE cylinder and stalled
+    # inside the seed slice
+    assert int(qsm.cylinders.count()) >= 4
+    claimed_z = trunk[np.asarray(qsm.found), 2]
+    assert claimed_z.max() > 1.0  # climbed past the seed slice
