@@ -12,6 +12,7 @@
 #include <cstdlib>
 #include <cstring>
 #include <cstdio>
+#include <cmath>
 
 namespace {
 inline bool is_ws(char c) {
@@ -83,9 +84,11 @@ int64_t voxel_accumulate(const double* pts, int64_t n, double voxel,
     int64_t occupied = 0;
     for (int64_t i = 0; i < n; ++i) {
         double x = pts[i * 3], y = pts[i * 3 + 1], z = pts[i * 3 + 2];
-        int64_t cx = (int64_t)((x - ox) / voxel);
-        int64_t cy = (int64_t)((y - oy) / voxel);
-        int64_t cz = (int64_t)((z - oz) / voxel);
+        // floor (not truncate-toward-zero) to match the numpy fallback in
+        // io/native.py: cells straddling the origin planes must not merge
+        int64_t cx = (int64_t)std::floor((x - ox) / voxel);
+        int64_t cy = (int64_t)std::floor((y - oy) / voxel);
+        int64_t cz = (int64_t)std::floor((z - oz) / voxel);
         int64_t key = ((cx & 0x1FFFFF) << 42) | ((cy & 0x1FFFFF) << 21) | (cz & 0x1FFFFF);
         uint64_t h = (uint64_t)key * 0x9E3779B97F4A7C15ull;
         int64_t slot = (int64_t)(h % (uint64_t)table_size);

@@ -201,6 +201,7 @@ def build_trees(
     exclude_regions: list | None = None,
     neighbor_cap: int = 16,
     pre_voxel: float | None = None,
+    mesh=None,
 ) -> GrowthResult:
     """Full isolation: trunk bases → parallel region growing
     (ref ``build_trees_nogrid``, ``tree_isolation.py:400-423``; the grid-
@@ -216,6 +217,10 @@ def build_trees(
     cell-blocked neighbor query exact and fast), the growth runs on the
     representatives, and labels/orders expand back to full resolution
     through the voxel trace — a gather, not the reference's 41-file rescan.
+
+    ``mesh``: optional ``jax.sharding.Mesh`` — the growth loop then runs
+    sharded over the mesh (graph rows over the point axis, ICI label
+    exchange per cycle; see ``parallel/growth.py``) with identical semantics.
     """
     from pyqsm_tpu.ops.neighbors import grid_self_radius_knn
     from pyqsm_tpu.ops.sampling import compact_rows, voxel_downsample
@@ -249,11 +254,20 @@ def build_trees(
     compact = np.where(
         lab_host >= 0, np.searchsorted(uniq_ids, lab_host), -1
     ).astype(np.int32)
-    res = region_grow(
-        nbr_idx, jnp.asarray(compact), search,
-        max_cycles=cfg.cycles, min_frontier=cfg.min_frontier,
-        cluster_cap=ccap,
-    )
+    if mesh is not None:
+        from pyqsm_tpu.parallel.growth import region_grow_sharded
+
+        res = region_grow_sharded(
+            nbr_idx, jnp.asarray(compact), search, mesh,
+            max_cycles=cfg.cycles, min_frontier=cfg.min_frontier,
+            cluster_cap=ccap,
+        )
+    else:
+        res = region_grow(
+            nbr_idx, jnp.asarray(compact), search,
+            max_cycles=cfg.cycles, min_frontier=cfg.min_frontier,
+            cluster_cap=ccap,
+        )
     # map compact ids back to the original DBSCAN ids
     lut = jnp.asarray(np.concatenate([uniq_ids.astype(np.int32),
                                       np.full(1, -1, np.int32)]))

@@ -15,14 +15,15 @@ a human-in-the-loop caller.
 
 from __future__ import annotations
 
+from functools import partial
 from typing import Callable, NamedTuple
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-from pyqsm_tpu.ops.neighbors import knn
-from pyqsm_tpu.ops.sampling import uniform_downsample
+from pyqsm_tpu.ops.neighbors import grid_self_radius_knn
+from pyqsm_tpu.ops.sampling import compact_rows, uniform_downsample
 
 Array = jax.Array
 
@@ -33,6 +34,21 @@ class Adjacency(NamedTuple):
     labels: Array  # [L] i32 label ids present
 
 
+@partial(jax.jit, static_argnames=("n_labels",))
+def _label_pair_min(d: Array, idx: Array, labels: Array, n_labels: int) -> Array:
+    """Min edge distance per (label_i, label_j) pair: one scatter-min over
+    flattened pair keys. Edges within the same label are ignored."""
+    li = labels[:, None]
+    lj = jnp.where(idx >= 0, labels[jnp.maximum(idx, 0)], -1)
+    valid = (idx >= 0) & (li >= 0) & (lj >= 0) & (li != lj)
+    key = jnp.where(valid, li * n_labels + lj, n_labels * n_labels)
+    dv = jnp.where(valid, d, jnp.inf)
+    dmin = jnp.full(n_labels * n_labels + 1, jnp.inf).at[
+        key.reshape(-1)
+    ].min(dv.reshape(-1), mode="drop")
+    return dmin[: n_labels * n_labels].reshape(n_labels, n_labels)
+
+
 def label_adjacency(
     points: Array,
     labels: Array,
@@ -40,39 +56,44 @@ def label_adjacency(
     threshold: float = 0.35,
     subsample_every: int = 10,
     max_labels: int = 256,
+    neighbor_cap: int = 64,
 ) -> Adjacency:
     """Pairwise min distance between labeled clusters on 1/k-subsampled
     points (ref ``determine_adjacency`` :126-164; ::10 subsample :91).
 
-    Host-orchestrated over the label list; each pair reduction is jitted.
+    One grid-index radius pass over the whole cloud + one scatter-min over
+    label-pair keys — a single dispatch for all pairs, replacing both the
+    reference's per-pair ``sparse_distance_matrix`` loop and the previous
+    per-label kNN dispatch loop. Exact for pairs within ``threshold`` as
+    long as no point has more than ``neighbor_cap`` cross-label subsampled
+    neighbors inside the threshold ball; distances beyond ``threshold``
+    report as inf (the reference's sparse matrix has the same contract).
     """
     sub = uniform_downsample(mask & (labels >= 0), subsample_every)
     lab_np = np.asarray(jnp.where(sub, labels, -1))
     present = np.unique(lab_np[lab_np >= 0])[:max_labels]
-    L = len(present)
-    dmat = np.full((L, L), np.inf, np.float32)
-    pts = points
-    for i in range(L):
-        mi = jnp.asarray(lab_np == present[i])
-        # one kNN query of cluster i's points against all other live points
-        d, idx = knn(pts, pts, 2, query_mask=mi,
-                     point_mask=jnp.asarray((lab_np >= 0) & (lab_np != present[i])))
-        nearest = np.asarray(d[:, 0])
-        owner = np.asarray(idx[:, 0])
-        ok = np.isfinite(nearest)
-        if not ok.any():
-            continue
-        tgt_labels = lab_np[owner[ok]]
-        nd = nearest[ok]
-        for j, lj in enumerate(present):
-            sel = tgt_labels == lj
-            if sel.any():
-                dmat[i, j] = min(dmat[i, j], nd[sel].min())
-    # symmetrize
+    n_lab = len(present)
+    if n_lab == 0:
+        z = jnp.zeros((0, 0))
+        return Adjacency(z, z.astype(bool), jnp.zeros(0, jnp.int32))
+    in_present = np.isin(lab_np, present)
+    compact = np.where(
+        in_present, np.searchsorted(present, np.where(in_present, lab_np, 0)), -1
+    ).astype(np.int32)
+    pts_c, m_c, _, lab_c = compact_rows(
+        points, jnp.asarray(compact >= 0), jnp.asarray(compact)
+    )
+    lab_c = jnp.where(m_c, lab_c, -1)
+    d, idx = grid_self_radius_knn(
+        pts_c, radius=threshold, k=neighbor_cap, mask=m_c,
+        sort=False, max_bucket=128,
+    )
+    dmat = np.asarray(_label_pair_min(d, idx, lab_c, n_lab))
     dmat = np.minimum(dmat, dmat.T)
     np.fill_diagonal(dmat, 0.0)
-    adj = (dmat <= threshold) & ~np.eye(L, dtype=bool)
-    return Adjacency(jnp.asarray(dmat), jnp.asarray(adj), jnp.asarray(present.astype(np.int32)))
+    adj = (dmat <= threshold) & ~np.eye(n_lab, dtype=bool)
+    return Adjacency(jnp.asarray(dmat), jnp.asarray(adj),
+                     jnp.asarray(present.astype(np.int32)))
 
 
 def auto_join_policy(adj: Adjacency, max_dist: float | None = None) -> list[tuple[int, int]]:

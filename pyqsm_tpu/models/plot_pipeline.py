@@ -48,11 +48,17 @@ def process_plot(
     min_tree_points: int = 500,
     with_metrics: bool = False,
     max_trees: int | None = None,
+    mesh=None,
 ) -> PlotResult:
-    """Isolate every tree and fit a skeleton QSM per tree."""
+    """Isolate every tree and fit a skeleton QSM per tree.
+
+    ``mesh``: optional ``jax.sharding.Mesh`` — the growth loop runs sharded
+    over the point axis (ICI label exchange) and the batched contraction
+    runs data-parallel over the trees axis; semantics identical to the
+    single-device path (tested for equality)."""
     if cfg is None:
         cfg = Config()
-    growth = build_trees(points, mask, iso_cfg)
+    growth = build_trees(points, mask, iso_cfg, mesh=mesh)
     lab = np.asarray(growth.labels)
     uniq, counts = np.unique(lab[lab >= 0], return_counts=True)
     order = np.argsort(-counts)
@@ -91,7 +97,7 @@ def process_plot(
         extract_skeleton_batch, extract_topology, skeleton_to_qsm,
     )
 
-    skels = extract_skeleton_batch(batch_p, batch_m, cfg.skeletonize)
+    skels = extract_skeleton_batch(batch_p, batch_m, cfg.skeletonize, mesh=mesh)
 
     trees: list[TreeResult] = []
     for i, (tree_id, (p2, m2, n_tree)) in enumerate(zip(kept_ids, tree_arrays)):

@@ -177,12 +177,16 @@ def extract_skeleton_batch(
     masks: Array,  # [T, P]
     cfg: SkeletonizeConfig | None = None,
     cg_iters: int = 80,
+    mesh=None,
 ) -> SkeletonResult:
     """Contract a BATCH of trees in one dispatch (vmapped ``_contract``) —
-    the single-chip 'trees' batch axis; across chips the same batch shards
-    over the mesh's 'trees' axis. The while_loop runs until every tree in
-    the batch terminates (converged trees keep solving but stop moving).
-    Amplification tiers are chosen from the largest tree."""
+    the single-chip 'trees' batch axis. With ``mesh`` given, the batch axis
+    is placed over ALL mesh devices (``NamedSharding``) and XLA partitions
+    the whole contraction data-parallel across chips — the replacement for
+    the reference's joblib pool over per-tree files (``pipeline.py:113-116``).
+    The while_loop runs until every tree in the batch terminates (converged
+    trees keep solving but stop moving). Amplification tiers are chosen from
+    the largest tree."""
     if cfg is None:
         cfg = SkeletonizeConfig()
     termination = cfg.termination_ratio
@@ -203,7 +207,25 @@ def extract_skeleton_batch(
         termination_ratio=termination,
         cg_iters=cg_iters,
     )
-    return jax.vmap(fn)(points, masks)
+    if mesh is None:
+        return jax.vmap(fn)(points, masks)
+
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    axes = tuple(mesh.axis_names)
+    n_dev = int(np.prod(mesh.devices.shape))
+    t = points.shape[0]
+    pad = (-t) % n_dev
+    if pad:
+        # empty padding trees: all-False masks terminate on iteration 0
+        points = jnp.pad(points, ((0, pad), (0, 0), (0, 0)))
+        masks = jnp.pad(masks, ((0, pad), (0, 0)), constant_values=False)
+    points = jax.device_put(points, NamedSharding(mesh, P(axes, None, None)))
+    masks = jax.device_put(masks, NamedSharding(mesh, P(axes, None)))
+    out = jax.vmap(fn)(points, masks)
+    if pad:
+        out = jax.tree.map(lambda x: x[:t], out)
+    return out
 
 
 class TopologyResult(NamedTuple):

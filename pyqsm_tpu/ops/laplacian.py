@@ -55,7 +55,9 @@ def point_cloud_laplacian(
     deg = jnp.sum(w, axis=1)
     mass = jnp.where(mask, jnp.pi * mean_d * mean_d, 1e-12)
     # transpose ELL once per rebuild: Lᵀ matvecs inside CG become gathers
-    # instead of a 0.8M-entry scatter per iteration (the solve's hot op)
-    t_idx, t_w = build_transpose_ell(idx, w, kt=2 * n_neighbors)
+    # instead of a 0.8M-entry scatter per iteration (the solve's hot op).
+    # overflow flags in-degrees beyond the slots (contracted clouds collapse
+    # onto junctions) — rmatvec then lax.cond's into the exact scatter path
+    t_idx, t_w, t_overflow = build_transpose_ell(idx, w, kt=2 * n_neighbors)
     return ELLLaplacian(nbr_idx=idx, w=w, deg=deg, mass=mass,
-                        t_idx=t_idx, t_w=t_w)
+                        t_idx=t_idx, t_w=t_w, t_overflow=t_overflow)

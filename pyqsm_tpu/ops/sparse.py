@@ -29,7 +29,11 @@ class ELLLaplacian(NamedTuple):
     ``t_idx``/``t_w`` optionally carry the TRANSPOSE in ELL form (built once
     per Laplacian with ``build_transpose_ell``), turning Lᵀ matvecs from a
     per-call segment-sum scatter (the CG iteration's dominant cost on TPU)
-    into a gather."""
+    into a gather. ``t_overflow`` records whether any in-degree exceeded the
+    ``kt`` slots — when True the gather form would silently drop in-edges
+    (contracted clouds collapse onto skeleton junctions where in-degree far
+    exceeds 2k), so ``laplacian_rmatvec`` falls back to the exact scatter
+    path via ``lax.cond``."""
 
     nbr_idx: Array  # [N, k] i32, -1 padded
     w: Array  # [N, k] f32, 0 on padding
@@ -37,12 +41,17 @@ class ELLLaplacian(NamedTuple):
     mass: Array  # [N] f32 diagonal mass (area) matrix
     t_idx: Array | None = None  # [N, kt] i32 in-edge sources, -1 padded
     t_w: Array | None = None  # [N, kt] f32
+    t_overflow: Array | None = None  # scalar bool: max in-degree > kt
 
 
-def build_transpose_ell(nbr_idx: Array, w: Array, kt: int) -> tuple[Array, Array]:
+def build_transpose_ell(
+    nbr_idx: Array, w: Array, kt: int
+) -> tuple[Array, Array, Array]:
     """ELL rows of Wᵀ: for each point, the sources (and weights) of its
-    in-edges. One flat sort + one scatter per build; in-degrees above ``kt``
-    are dropped (kNN in-degree concentrates near k — use kt ≥ 2k)."""
+    in-edges. One flat sort + one scatter per build. Returns
+    ``(t_idx, t_w, overflow)`` — ``overflow`` is a scalar bool flagging any
+    in-degree above ``kt`` (then the ELL is lossy and the caller must route
+    Lᵀ matvecs through the exact scatter path instead)."""
     n, k = nbr_idx.shape
     src = jax.lax.broadcasted_iota(jnp.int32, (n, k), 0).reshape(-1)
     dst = jnp.where(nbr_idx >= 0, nbr_idx, n).reshape(-1)
@@ -59,13 +68,14 @@ def build_transpose_ell(nbr_idx: Array, w: Array, kt: int) -> tuple[Array, Array
     )
     pos = iota - run_start  # position within the in-edge run of each dst
     keep = (sd < n) & (pos < kt)
+    overflow = jnp.any((sd < n) & (pos >= kt))
     row = jnp.where(keep, sd, n)
     slot = jnp.where(keep, pos, 0)
     t_idx = jnp.full((n + 1, kt), -1, jnp.int32).at[row, slot].set(
         ss, mode="drop"
     )[:n]
     t_w = jnp.zeros((n + 1, kt)).at[row, slot].set(sw, mode="drop")[:n]
-    return t_idx, t_w
+    return t_idx, t_w, overflow
 
 
 def laplacian_matvec(L: ELLLaplacian, x: Array) -> Array:
@@ -76,13 +86,8 @@ def laplacian_matvec(L: ELLLaplacian, x: Array) -> Array:
     return L.deg[:, None] * x - acc
 
 
-def laplacian_rmatvec(L: ELLLaplacian, x: Array) -> Array:
-    """Lᵀ @ x for x [N, C]. Gather form via the prebuilt transpose ELL when
-    available (the CG hot path); segment-sum scatter fallback otherwise."""
-    if L.t_idx is not None:
-        tg = jnp.maximum(L.t_idx, 0)
-        acc = jnp.einsum("nk,nkc->nc", L.t_w, x[tg])
-        return L.deg[:, None] * x - acc
+def _rmatvec_scatter(L: ELLLaplacian, x: Array) -> Array:
+    """Exact Lᵀ @ x via segment-sum scatter (handles any in-degree)."""
     n, k = L.nbr_idx.shape
     gidx = jnp.maximum(L.nbr_idx, 0)
     contrib = L.w[:, :, None] * x[:, None, :]  # w_ij * x_i  at slot j
@@ -90,6 +95,25 @@ def laplacian_rmatvec(L: ELLLaplacian, x: Array) -> Array:
     flat = contrib.reshape(n * k, -1)
     scat = jax.ops.segment_sum(flat, flat_idx, num_segments=n + 1)[:n]
     return L.deg[:, None] * x - scat
+
+
+def laplacian_rmatvec(L: ELLLaplacian, x: Array) -> Array:
+    """Lᵀ @ x for x [N, C]. Gather form via the prebuilt transpose ELL when
+    available AND lossless (the CG hot path); exact segment-sum scatter when
+    the transpose overflowed its slots or no transpose was built."""
+    if L.t_idx is None:
+        return _rmatvec_scatter(L, x)
+
+    def gather_path(x):
+        tg = jnp.maximum(L.t_idx, 0)
+        acc = jnp.einsum("nk,nkc->nc", L.t_w, x[tg])
+        return L.deg[:, None] * x - acc
+
+    if L.t_overflow is None:
+        return gather_path(x)
+    return jax.lax.cond(
+        L.t_overflow, lambda x: _rmatvec_scatter(L, x), gather_path, x
+    )
 
 
 def normal_matvec(L: ELLLaplacian, wl: Array, wh: Array, x: Array) -> Array:

@@ -88,6 +88,34 @@ def sharded_laplacian_matvec(
     return deg[:, None] * x_local - acc
 
 
+def sharded_laplacian_rmatvec(
+    y_local: Array,  # [P_local, C]
+    nbr_idx: Array,  # [P_local, k] GLOBAL neighbor indices
+    w: Array,  # [P_local, k]
+    deg: Array,  # [P_local]
+    axis: str,
+) -> Array:
+    """Exact Lᵀ @ y with rows sharded over the point axis. Each shard owns
+    the out-edges of its local rows; their contributions w_ij·y_i scatter to
+    *global* destination rows, so the partial [P_global, C] accumulations are
+    psum'd and each shard slices back its block. This keeps the directed kNN
+    weights exact (no symmetric-Laplacian assumption — kNN membership and the
+    per-row σ_i heat weights are NOT symmetric)."""
+    n_local, k = nbr_idx.shape
+    n_dev = jax.lax.axis_size(axis)
+    me = jax.lax.axis_index(axis)
+    n_global = n_local * n_dev
+    wv = jnp.where(nbr_idx >= 0, w, 0.0)
+    contrib = wv[:, :, None] * y_local[:, None, :]  # [P_local, k, C]
+    dst = jnp.where(nbr_idx >= 0, nbr_idx, n_global).reshape(-1)
+    part = jax.ops.segment_sum(
+        contrib.reshape(n_local * k, -1), dst, num_segments=n_global + 1
+    )[:n_global]
+    full = jax.lax.psum(part, axis)  # [P_global, C]
+    acc = jax.lax.dynamic_slice_in_dim(full, me * n_local, n_local, 0)
+    return deg[:, None] * y_local - acc
+
+
 def sharded_cg(
     nbr_idx: Array, w: Array, deg: Array,
     wl: Array, wh: Array,  # [P_local]
@@ -96,19 +124,28 @@ def sharded_cg(
     iters: int = 30,
 ) -> Array:
     """Jacobi-PCG on the contraction normal equations with the point axis
-    sharded: matvecs all_gather x; inner products psum. Normal operator
-    applied as Lᵀ(WL²(Lx)) + WH²x where Lᵀ needs the *global* weighted
-    rows — here approximated with the symmetrized local form (L is built
-    symmetric in the sharded path: w_ij gathered for both directions)."""
+    sharded: L matvecs all_gather x; Lᵀ matvecs scatter local out-edge
+    contributions and psum; inner products psum. The normal operator is the
+    exact Lᵀ·WL²·L + WH² of the directed kNN weights (matching the
+    single-chip path), not a symmetrized approximation."""
 
     def matvec(x_local):
         y = sharded_laplacian_matvec(x_local, nbr_idx, w, deg, axis)
         y = (wl * wl)[:, None] * y
-        # symmetric Laplacian assumption: Lᵀ = L on the symmetrized weights
-        y = sharded_laplacian_matvec(y, nbr_idx, w, deg, axis)
+        y = sharded_laplacian_rmatvec(y, nbr_idx, w, deg, axis)
         return y + (wh * wh)[:, None] * x_local
 
-    diag = (wl * deg) ** 2 + wh * wh
+    # Jacobi diagonal incl. the in-edge term Σ_i (wl_i·w_ij)², gathered the
+    # same way as the rmatvec (one-time cost before the iteration loop)
+    n_local, k = nbr_idx.shape
+    n_dev = jax.lax.axis_size(axis)
+    me = jax.lax.axis_index(axis)
+    n_global = n_local * n_dev
+    sq = (wl[:, None] * jnp.where(nbr_idx >= 0, w, 0.0)) ** 2
+    dst = jnp.where(nbr_idx >= 0, nbr_idx, n_global).reshape(-1)
+    part = jax.ops.segment_sum(sq.reshape(-1), dst, num_segments=n_global + 1)[:n_global]
+    in_sq = jax.lax.dynamic_slice_in_dim(jax.lax.psum(part, axis), me * n_local, n_local, 0)
+    diag = (wl * deg) ** 2 + in_sq + wh * wh
     minv = 1.0 / jnp.maximum(diag, 1e-20)[:, None]
 
     def psum_dot(a, b):

@@ -121,3 +121,29 @@ def test_transfer_attributes(rng):
     matched = np.asarray(matched)
     assert matched[:300].all() and not matched[300:].any()
     np.testing.assert_allclose(np.asarray(out)[:300], vals, atol=0.02)
+
+
+def test_label_adjacency_not_shadowed_by_closer_third_cluster(rng):
+    """ADVICE r1 (joining.py:58): a pair within threshold must be reported
+    adjacent even when a third cluster is closer to every boundary point of
+    both (the old single-nearest-neighbor reduction missed such joins)."""
+    from pyqsm_tpu.models.joining import label_adjacency
+
+    n = 120
+    # A and B are 0.3 apart (<= 0.35); C sits 0.05 from both
+    a = np.stack([rng.uniform(-0.5, 0.0, n), rng.uniform(0, 2, n),
+                  np.zeros(n)], 1)
+    a[:, 0] = np.minimum(a[:, 0], -0.001)
+    b = a.copy(); b[:, 0] = -a[:, 0] + 0.30  # mirror at x=0.30..0.80
+    c = np.stack([np.full(n, 0.15), rng.uniform(0, 2, n),
+                  np.full(n, 0.02)], 1)
+    pts = jnp.asarray(np.concatenate([a, b, c]).astype(np.float32))
+    labels = jnp.asarray(np.repeat([0, 1, 2], n).astype(np.int32))
+    mask = jnp.ones(3 * n, bool)
+    adj = label_adjacency(pts, labels, mask, threshold=0.35, subsample_every=1)
+    am = np.asarray(adj.adjacent)
+    assert am[0, 1] and am[1, 0], "A-B adjacency shadowed by closer cluster C"
+    assert am[0, 2] and am[1, 2]
+    # and reported min distances are the true gaps
+    d = np.asarray(adj.min_dist)
+    assert abs(d[0, 2] - np.sqrt(0.15**2 + 0.02**2)) < 0.05

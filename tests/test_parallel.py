@@ -98,3 +98,44 @@ def test_sharded_cast_rays_matches_local(rng):
         rtol=1e-4, atol=1e-5,
     )
     np.testing.assert_array_equal(np.asarray(hits.count), np.asarray(ref.count))
+
+
+def test_sharded_cg_matches_dense_solve_directed_weights(rng):
+    """sharded_cg must solve the exact normal equations of DIRECTED kNN
+    weights (ADVICE r1: the old path assumed a symmetric L)."""
+    from functools import partial
+    from jax.sharding import PartitionSpec as P, NamedSharding
+    from jax import shard_map
+    from pyqsm_tpu.parallel.collective_ops import sharded_cg
+
+    mesh = make_mesh()  # 8-way 'points'
+    n, k = 256, 6
+    idx = np.full((n, k), -1, np.int32)
+    w = np.zeros((n, k), np.float32)
+    for i in range(n):
+        nbrs = rng.choice([j for j in range(n) if j != i], k, replace=False)
+        idx[i] = nbrs
+        w[i] = rng.uniform(0.1, 1.0, k)  # asymmetric by construction
+    deg = w.sum(1)
+    wl = rng.uniform(0.5, 2.0, n).astype(np.float32)
+    wh = rng.uniform(0.5, 2.0, n).astype(np.float32)
+    b = rng.normal(size=(n, 3)).astype(np.float32)
+
+    A = np.diag(deg).astype(np.float64)
+    for i in range(n):
+        for s in range(k):
+            A[i, idx[i, s]] -= w[i, s]
+    Nmat = A.T @ np.diag(wl.astype(np.float64) ** 2) @ A + np.diag(wh.astype(np.float64) ** 2)
+    x_ref = np.linalg.solve(Nmat, b.astype(np.float64))
+
+    fn = shard_map(
+        partial(sharded_cg, axis="points", iters=400),
+        mesh=mesh,
+        in_specs=(P("points"), P("points"), P("points"), P("points"),
+                  P("points"), P("points")),
+        out_specs=P("points"),
+        check_vma=False,
+    )
+    put = lambda a: jax.device_put(jnp.asarray(a), NamedSharding(mesh, P("points")))
+    x = jax.jit(fn)(put(idx), put(w), put(deg), put(wl), put(wh), put(b))
+    np.testing.assert_allclose(np.asarray(x), x_ref, rtol=2e-2, atol=2e-3)

@@ -27,3 +27,37 @@ def test_process_plot_two_trees(rng):
         assert 0.05 < np.median(radii) < 0.6
     # biggest tree first
     assert res.trees[0].n_points >= res.trees[1].n_points
+
+
+@pytest.mark.slow
+def test_process_plot_sharded_matches_single_device(rng):
+    """The REAL pipeline on the 8-device mesh == single-device (SURVEY §2c):
+    sharded region growing (ICI label exchange) + DP batched contraction."""
+    import jax
+    from pyqsm_tpu.parallel import make_mesh
+
+    def tree(cx, r, n=3000):
+        th = rng.uniform(0, 2 * np.pi, n)
+        z = rng.uniform(0, 5, n)
+        return np.stack([cx + (r + rng.normal(0, .005, n)) * np.cos(th),
+                         (r + rng.normal(0, .005, n)) * np.sin(th), z], 1)
+    pts = np.concatenate([tree(0, 0.3), tree(7, 0.2), tree(14, 0.25)]).astype(np.float32)
+    iso = IsolationConfig(base_min_points=15, low_pctile=5.0,
+                          max_dist=0.3, cycles=300, min_frontier=2)
+    kwargs = dict(iso_cfg=iso, skeleton_voxel=0.05, min_tree_points=500)
+    ref = process_plot(jnp.asarray(pts), jnp.ones(len(pts), bool), **kwargs)
+    shd = process_plot(jnp.asarray(pts), jnp.ones(len(pts), bool),
+                       mesh=make_mesh(), **kwargs)
+
+    np.testing.assert_array_equal(np.asarray(ref.growth.labels),
+                                  np.asarray(shd.growth.labels))
+    np.testing.assert_array_equal(np.asarray(ref.growth.order),
+                                  np.asarray(shd.growth.order))
+    assert len(ref.trees) == len(shd.trees) == 3
+    for a, b in zip(ref.trees, shd.trees):
+        assert a.tree_id == b.tree_id and a.n_points == b.n_points
+        ra = np.asarray(a.cylinders.radius)[np.asarray(a.cylinders.mask)]
+        rb = np.asarray(b.cylinders.radius)[np.asarray(b.cylinders.mask)]
+        # same cylinder count; radii agree to solver tolerance
+        assert len(ra) == len(rb)
+        np.testing.assert_allclose(np.sort(ra), np.sort(rb), rtol=5e-2, atol=5e-3)

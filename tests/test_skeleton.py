@@ -176,3 +176,37 @@ def test_full_skeleton_pipeline_on_tree(tree_points):
     # vertex mapping covers live points
     p2v = np.asarray(topo.topology.point_to_vertex)
     assert (p2v >= 0).all()
+
+
+def test_transpose_ell_overflow_falls_back_to_exact(rng):
+    """In-degrees beyond the kt slots (contracted clouds collapse onto
+    junctions) must not silently drop in-edges: the overflow flag routes
+    rmatvec through the exact scatter path (ADVICE r1: sparse.py:45)."""
+    from pyqsm_tpu.ops.sparse import build_transpose_ell
+
+    n, k = 40, 5
+    idx = np.full((n, k), -1, np.int32)
+    w = np.zeros((n, k), np.float32)
+    # every row points at node 0 -> in-degree(0) = n-1 >> kt
+    for i in range(n):
+        others = [0] if i != 0 else []
+        pool = [j for j in range(1, n) if j != i]
+        nbrs = others + list(rng.choice(pool, k - 1 - len(others), replace=False))
+        idx[i, :len(nbrs)] = nbrs
+        w[i, :len(nbrs)] = rng.uniform(0.1, 1.0, len(nbrs))
+    deg = w.sum(1)
+    kt = 8
+    t_idx, t_w, overflow = build_transpose_ell(jnp.asarray(idx), jnp.asarray(w), kt)
+    assert bool(overflow)
+    L = ELLLaplacian(jnp.asarray(idx), jnp.asarray(w), jnp.asarray(deg),
+                     jnp.ones(n), t_idx=t_idx, t_w=t_w, t_overflow=overflow)
+    A = dense_L(L)
+    x = rng.normal(size=(n, 3)).astype(np.float32)
+    np.testing.assert_allclose(np.asarray(laplacian_rmatvec(L, jnp.asarray(x))),
+                               A.T @ x, rtol=1e-4, atol=1e-5)
+    # and the no-overflow case still takes the gather path losslessly
+    t_idx2, t_w2, ov2 = build_transpose_ell(jnp.asarray(idx), jnp.asarray(w), n)
+    assert not bool(ov2)
+    L2 = L._replace(t_idx=t_idx2, t_w=t_w2, t_overflow=ov2)
+    np.testing.assert_allclose(np.asarray(laplacian_rmatvec(L2, jnp.asarray(x))),
+                               A.T @ x, rtol=1e-4, atol=1e-5)
