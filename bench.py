@@ -1,11 +1,18 @@
 """Benchmark: Mpts/sec through the isolate → skeletonize → QSM pipeline.
 
-Matches BASELINE.json's metric. Synthetic multi-tree plot (trunk rings +
-canopy blobs, the geometry of the reference's SKIO scans) is isolated into
-trees, the largest tree is voxel-cleaned, contraction-skeletonized, and
-QSM-fit. Baseline for ``vs_baseline`` is the driver-set north star:
-10M points in 60 s on v5e-8 = 0.1667 Mpts/s (BASELINE.md) — this round runs
-single-chip.
+Matches BASELINE.json's metric at the NORTH-STAR workload: a 10M-point
+multi-tree plot (trunk rings + canopy blobs, the geometry of the
+reference's SKIO scans), isolated into trees and EVERY tree voxel-cleaned,
+contraction-skeletonized, and QSM-fit (``process_plot`` — the composition
+the reference spreads across tree_isolation → pipeline → qsm_generation).
+Baseline for ``vs_baseline``: 10M points in 60 s on v5e-8 = 0.1667 Mpts/s
+(BASELINE.md); this bench runs single-chip.
+
+Also recorded: isolation at the reference's own default parameters
+(max_dist=0.1, base_min_points=300 — tree_isolation.py:67-70,316) next to
+the tuned ones, a sphere-following QSM on the largest tree, and ray
+throughput (screen-space pinhole + cell-aligned sun bundle) against a
+device-reconstructed ≥100k-triangle canopy mesh.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 """
@@ -42,9 +49,10 @@ def synthetic_plot(n_total: int, n_trees: int = 8, seed: int = 0) -> np.ndarray:
 
 def main() -> int:
     parser = argparse.ArgumentParser()
-    parser.add_argument("--n", type=int, default=1_000_000)
+    parser.add_argument("--n", type=int, default=10_000_000)
     parser.add_argument("--trees", type=int, default=8)
     parser.add_argument("--skeleton-points", type=int, default=40_000)
+    parser.add_argument("--skip-ref-params", action="store_true")
     args = parser.parse_args()
 
     import jax
@@ -57,9 +65,9 @@ def main() -> int:
 
     from pyqsm_tpu.config import Config, IsolationConfig
     from pyqsm_tpu.models.isolation import build_trees
+    from pyqsm_tpu.models.plot_pipeline import process_plot
     from pyqsm_tpu.models.qsm import sphere_following_qsm
-    from pyqsm_tpu.models.skeleton import skeletonize
-    from pyqsm_tpu.ops.sampling import voxel_downsample
+    from pyqsm_tpu.ops.sampling import compact_rows, voxel_downsample
 
     n = args.n
     pts_np = synthetic_plot(n, args.trees)
@@ -69,23 +77,61 @@ def main() -> int:
 
     iso_cfg = IsolationConfig(base_min_points=200, low_pctile=4.0,
                               max_dist=0.2, cycles=400, min_frontier=3)
-    from pyqsm_tpu.ops.sampling import compact_rows
 
     def run_pipeline():
-        """One full isolate -> skeletonize -> QSM pass on the fixed inputs."""
+        """One full isolate -> per-tree skeletonize+QSM pass (every tree)."""
         timings = {}
         t0 = time.perf_counter()
+        res = process_plot(
+            pts, mask, cfg, iso_cfg,
+            skeleton_voxel=0.03,
+            max_skeleton_points=args.skeleton_points,
+            min_tree_points=2000,
+        )
+        n_cyl = sum(int(t.cylinders.count()) for t in res.trees)
+        timings["total_s"] = time.perf_counter() - t0
+        return timings, res, n_cyl
 
-        # 1. isolation on the full plot
-        iso = build_trees(pts, mask, iso_cfg, neighbor_cap=12)
-        lab_np = np.asarray(iso.labels)  # forced transfer = honest timing
-        timings["isolation_s"] = time.perf_counter() - t0
-        t1 = time.perf_counter()
+    # pass 1: cold process — pays per-kernel executable load (and compiles on
+    # a cold cache); pass 2: the steady-state number a resident service sees
+    cold, _, _ = run_pipeline()
+    steady, res, n_cyl_skel = run_pipeline()
 
-        # 2. largest tree -> compact once -> voxel ladder on the compacted
-        # buffer (running the ladder masked over the full 1M-capacity array
-        # paid ~0.5 s per rung for an 1/8-sized tree)
-        uniq, counts = np.unique(lab_np[lab_np >= 0], return_counts=True)
+    lab_np = np.asarray(res.growth.labels)
+    uniq, counts = np.unique(lab_np[lab_np >= 0], return_counts=True)
+    n_trees_found = len(uniq)
+
+    total = steady["total_s"]
+    value = n / total / 1e6
+
+    detail = {
+        "n_points": n,
+        "total_s": round(total, 2),
+        "cold_total_s": round(cold["total_s"], 2),
+        "trees_found": int(n_trees_found),
+        "trees_skeletonized": len(res.trees),
+        "skeleton_cylinders": int(n_cyl_skel),
+        "scope": "process_plot: isolation + skeleton QSM on EVERY tree; single chip",
+        "backend": jax.default_backend(),
+    }
+
+    # reference-default isolation parameters (tree_isolation.py:67-70,316)
+    # alongside the tuned ones — recorded, not part of the headline metric
+    if not args.skip_ref_params:
+        try:
+            ref_iso = IsolationConfig()  # defaults mirror the reference
+            t0 = time.perf_counter()
+            g = build_trees(pts, mask, ref_iso)
+            ref_lab = np.asarray(g.labels)
+            detail["ref_params_isolation_s"] = round(time.perf_counter() - t0, 2)
+            detail["ref_params_trees_found"] = int(
+                len(np.unique(ref_lab[ref_lab >= 0])))
+        except Exception as e:  # noqa: BLE001
+            detail["ref_params_isolation_error"] = type(e).__name__
+
+    # sphere-following QSM on the largest tree (the reference's other QSM
+    # route, qsm_generation.py:182-316)
+    try:
         best = uniq[np.argmax(counts)]
         tree_pts, tree_mask_c, _ = compact_rows(pts, jnp.asarray(lab_np == best))
         voxel = 0.03
@@ -94,93 +140,69 @@ def main() -> int:
             voxel *= 1.6
             p2, m2, _ = voxel_downsample(tree_pts, voxel, tree_mask_c)
         p2, m2, _ = compact_rows(p2, m2)
-        skel, topo, cyls_skel = skeletonize(p2, m2, cfg.skeletonize)
-        _ = int(jnp.sum(cyls_skel.mask))
-        timings["skeleton_s"] = time.perf_counter() - t1
-        t2 = time.perf_counter()
-
-        # 3. sphere-following QSM on the same tree. Seed = trunk-base height
-        # slice (ground + 0.5 m, the reference's crop in get_stem_pcd) — a
-        # z-percentile seed spans the whole trunk column on canopy-dominated
-        # clouds and strands the walk at its own centroid.
         z = np.asarray(p2[:, 2])
         m2_np = np.asarray(m2)
         zmin = float(np.min(np.where(m2_np, z, np.inf)))
         rows = np.flatnonzero(m2_np & (z < zmin + 0.5))
         seed = np.full(1024, -1, np.int32)
         seed[: min(len(rows), 1024)] = rows[:1024]
+        t0 = time.perf_counter()
         qsm = sphere_following_qsm(
             p2, m2, jnp.asarray(seed), jnp.asarray(seed >= 0), 0.3,
             sphere=cfg.sphere, dbscan_cfg=cfg.dbscan, max_steps=48,
         )
-        _ = int(qsm.cylinders.count())
-        timings["qsm_s"] = time.perf_counter() - t2
-        timings["total_s"] = time.perf_counter() - t0
-        return timings, uniq, cyls_skel, qsm
+        detail["sphere_qsm_s"] = round(time.perf_counter() - t0, 2)
+        detail["sphere_qsm_cylinders"] = int(qsm.cylinders.count())
+    except Exception as e:  # noqa: BLE001
+        detail["sphere_qsm_error"] = type(e).__name__
 
-    # pass 1: cold process — pays per-kernel executable load (and compiles on
-    # a cold cache); pass 2: the steady-state number a resident service sees
-    cold, _, _, _ = run_pipeline()
-    steady, uniq, cyls_skel, qsm = run_pipeline()
-
-    total = steady["total_s"]
-    value = n / total / 1e6
-    n_trees_found = len(uniq)
-
-    # secondary headline: ray throughput against the QSM mesh
-    rays_per_s = None
-    sun_rays_per_s = None
+    # secondary headline: ray throughput against a device-reconstructed
+    # canopy mesh (>=100k triangles — the north-star raycast workload)
     try:
-        from pyqsm_tpu.ops.mesh import qsm_mesh
-        from pyqsm_tpu.ops.raytrace import cast_rays, parallel_rays, pinhole_rays
+        from pyqsm_tpu.ops.raygrid import (
+            build_image_grid, build_ray_grid, cell_cast_parallel, image_cast,
+        )
+        from pyqsm_tpu.ops.voxelmesh import poisson_like_mesh
 
-        scene = qsm_mesh(cyls_skel, segments=8)
-        center = jnp.mean(scene.vertices, axis=0)
-        origins, dirs = pinhole_rays(center + jnp.asarray([0.0, 0, 10.0]), center,
-                                     jnp.asarray([0.0, 1, 0]), 90.0, 640, 480)
-        hits = cast_rays(origins, dirs, scene.vertices, scene.triangles)
-        _ = int(jnp.sum(hits.tri >= 0))  # compile + run
+        canopy_mask = mask & (pts[:, 2] > 6.0)
+        scene = poisson_like_mesh(pts, canopy_mask, voxel=0.12, blur_iters=1)
+        n_tri = scene.n_triangles()
+        detail["scene_triangles"] = int(n_tri)
+
+        v = np.asarray(scene.vertices)
+        center = jnp.asarray(v.mean(0))
+        eye = center + jnp.asarray([0.0, -30.0, 18.0])
+        W, H = 1280, 950
+        grid_i = build_image_grid(scene.vertices, scene.triangles, eye,
+                                  center, jnp.asarray([0.0, 0, 1.0]),
+                                  60.0, W, H)
+        h = image_cast(grid_i)
+        jax.block_until_ready(h.t)
         t0r = time.perf_counter()
-        hits = cast_rays(origins, dirs, scene.vertices, scene.triangles)
-        _ = int(jnp.sum(hits.tri >= 0))
-        rays_per_s = origins.shape[0] / (time.perf_counter() - t0r)
-
-        # cell-aligned parallel sun bundle (the config-5 workload)
-        from pyqsm_tpu.ops.raygrid import build_ray_grid, cell_cast_parallel
+        h = image_cast(grid_i)
+        jax.block_until_ready(h.t)
+        detail["raycast_Mrays_s"] = round(W * H / (time.perf_counter() - t0r) / 1e6, 2)
 
         direction = np.array([0.3, 0.2, -0.93], np.float32)
         direction /= np.linalg.norm(direction)
-        grid = build_ray_grid(scene.vertices, scene.triangles, direction)
-        rpc = 32
-        n_sun = grid.nx * grid.ny * rpc * rpc
-        res = cell_cast_parallel(grid, direction, rays_per_cell_side=rpc)
-        _ = int(jnp.sum(res.count))
+        grid_s = build_ray_grid(scene.vertices, scene.triangles, direction)
+        rpc = 16
+        n_sun = grid_s.nx * grid_s.ny * rpc * rpc
+        r = cell_cast_parallel(grid_s, direction, rays_per_cell_side=rpc)
+        jax.block_until_ready(r.t)
         t0r = time.perf_counter()
-        res = cell_cast_parallel(grid, direction, rays_per_cell_side=rpc)
-        _ = int(jnp.sum(res.count))
-        sun_rays_per_s = n_sun / (time.perf_counter() - t0r)
-    except Exception:  # noqa: BLE001 — secondary metric must not kill bench
-        pass
+        r = cell_cast_parallel(grid_s, direction, rays_per_cell_side=rpc)
+        jax.block_until_ready(r.t)
+        detail["sun_grid_Mrays_s"] = round(n_sun / (time.perf_counter() - t0r) / 1e6, 2)
+    except Exception as e:  # noqa: BLE001 — secondary metric must not kill bench
+        detail["raycast_error"] = type(e).__name__
 
     print(json.dumps({
-        "metric": "Mpts/sec isolate->skeleton->QSM pipeline",
+        "metric": "Mpts/sec isolate->skeleton->QSM pipeline (10M-pt plot)",
         "value": round(value, 4),
         "unit": "Mpts/s",
         "vs_baseline": round(value / NORTH_STAR_MPTS_S, 3),
-        "detail": {
-            "n_points": n,
-            "isolation_s": round(steady["isolation_s"], 2),
-            "skeleton_s": round(steady["skeleton_s"], 2),
-            "qsm_s": round(steady["qsm_s"], 2),
-            "cold_total_s": round(cold["total_s"], 2),
-            "trees_found": int(n_trees_found),
-            "skeleton_cylinders": int(jnp.sum(cyls_skel.mask)),
-            "qsm_cylinders": int(qsm.cylinders.count()),
-            "raycast_Mrays_s": None if rays_per_s is None else round(rays_per_s / 1e6, 2),
-            "sun_grid_Mrays_s": None if sun_rays_per_s is None else round(sun_rays_per_s / 1e6, 2),
-            "scope": "isolation on full plot; skeleton+QSM on largest tree; single chip",
-            "backend": jax.default_backend(),
-        },
+        "detail": detail,
     }))
     return 0
 

@@ -57,6 +57,7 @@ def region_grow(
     min_frontier: int = 5,
     scatter_push: bool = False,
     cluster_cap: int | None = None,
+    active0: Array | None = None,
 ) -> GrowthResult:
     """Grow all seed clusters simultaneously until frontier exhaustion.
 
@@ -68,7 +69,11 @@ def region_grow(
     ``cluster_cap``: static upper bound on label VALUES (labels < cap). With
     compacted ids (see ``build_trees``) the per-cycle retirement count is a
     segment-sum over ~#trees segments instead of N — the N-segment scatter
-    was the cycle's dominant cost (measured ~50 ms/cycle at 409k pts)."""
+    was the cycle's dominant cost (measured ~50 ms/cycle at 409k pts).
+
+    ``active0``: optional [cluster_cap] activity carried in from a previous
+    chunk — lets callers observe growth in host-stepped chunks (TB-3D-style
+    logging, ref tree_isolation.py:81-87) with identical final labels."""
     n, k = nbr_idx.shape
     c = n if cluster_cap is None else int(cluster_cap)
     gidx = jnp.maximum(nbr_idx, 0)
@@ -77,7 +82,8 @@ def region_grow(
     labels0 = jnp.where(mask, seed_labels, -1)
     frontier0 = labels0 >= 0
     order0 = jnp.where(frontier0, 0, -1)
-    active0 = jnp.ones(c, dtype=bool)  # indexed by cluster id
+    if active0 is None:
+        active0 = jnp.ones(c, dtype=bool)  # indexed by cluster id
 
     def cond(state):
         labels, frontier, order, active, cyc = state
@@ -202,6 +208,8 @@ def build_trees(
     neighbor_cap: int = 16,
     pre_voxel: float | None = None,
     mesh=None,
+    observer=None,
+    observe_every: int = 20,
 ) -> GrowthResult:
     """Full isolation: trunk bases → parallel region growing
     (ref ``build_trees_nogrid``, ``tree_isolation.py:400-423``; the grid-
@@ -221,6 +229,14 @@ def build_trees(
     ``mesh``: optional ``jax.sharding.Mesh`` — the growth loop then runs
     sharded over the mesh (graph rows over the point axis, ICI label
     exchange per cycle; see ``parallel/growth.py``) with identical semantics.
+
+    ``observer``: optional callable ``(cycle, points, labels, order)`` fired
+    every ``observe_every`` cycles with the representative cloud and current
+    labels — the stepwise-growth observability of the reference's
+    TensorBoard-3D summaries (``tree_isolation.py:81-87,163-179``); pair it
+    with ``utils.viz.StepLogger.log``. Growth runs in host-stepped chunks
+    with carried retirement state, so final labels are identical to the
+    unobserved run.
     """
     from pyqsm_tpu.ops.neighbors import grid_self_radius_knn
     from pyqsm_tpu.ops.sampling import compact_rows, voxel_downsample
@@ -262,6 +278,34 @@ def build_trees(
             max_cycles=cfg.cycles, min_frontier=cfg.min_frontier,
             cluster_cap=ccap,
         )
+    elif observer is not None:
+        # host-stepped chunks: resume each chunk from the claimed labels
+        # with the previous chunk's retirement state — claim fronts are
+        # identical to one uninterrupted run (any unclaimed point's claimed
+        # neighbors were claimed in the chunk's final cycle, so the next
+        # chunk's first cycle sees exactly the same proposers)
+        labels_c = jnp.asarray(compact)
+        order_c = jnp.where(labels_c >= 0, 0, -1)
+        active_c = None
+        done = 0
+        res = None
+        while done < cfg.cycles:
+            chunk = min(observe_every, cfg.cycles - done)
+            res = region_grow(
+                nbr_idx, labels_c, search,
+                max_cycles=chunk, min_frontier=cfg.min_frontier,
+                cluster_cap=ccap, active0=active_c,
+            )
+            ran = int(res.cycles_run)
+            order_c = jnp.where(
+                (order_c < 0) & (res.order > 0), done + res.order, order_c
+            )
+            labels_c, active_c = res.labels, res.active
+            done += ran
+            observer(done, rep_pts, labels_c, order_c)
+            if ran < chunk:  # converged inside the chunk
+                break
+        res = GrowthResult(labels_c, order_c, jnp.int32(done), active_c)
     else:
         res = region_grow(
             nbr_idx, jnp.asarray(compact), search,

@@ -73,12 +73,15 @@ def process_plot(
     for tree_id, n_tree in zip(uniq, counts):
         if n_tree < min_tree_points:
             continue
-        tmask = jnp.asarray(lab == tree_id)
+        # compact the tree FIRST: the voxel ladder then runs on a tree-sized
+        # buffer instead of the full plot capacity (at 10M-pt plots every
+        # ladder rung would otherwise be a full-capacity dispatch per tree)
+        tpts, tmask_c, _ = compact_rows(points, jnp.asarray(lab == tree_id))
         voxel = skeleton_voxel
-        p2, m2, _ = voxel_downsample(points, voxel, tmask)
+        p2, m2, _ = voxel_downsample(tpts, voxel, tmask_c)
         while int(jnp.sum(m2)) > max_skeleton_points and voxel < 0.5:
             voxel *= 1.6
-            p2, m2, _ = voxel_downsample(points, voxel, tmask)
+            p2, m2, _ = voxel_downsample(tpts, voxel, tmask_c)
         p2, m2, _ = compact_rows(p2, m2)
         kept_ids.append(int(tree_id))
         tree_arrays.append((p2, m2, int(n_tree)))

@@ -295,14 +295,39 @@ def _qsm_chain_fused(
     single fronts, so the per-wave host round-trip (~300 ms on a tunneled
     TPU) dominated; here the single-child advance decision (exactly one
     usable cluster after the split, noise re-attached within branch scale)
-    runs device-side, and the host only sees fragmentation points."""
-    n = points.shape[0]
-    per = {k: [] for k in ("fidx", "fvalid", "lr", "good", "advanced",
-                           "radius", "axis", "center", "height",
-                           "new_idx", "new_valid", "labels", "blocks",
-                           "child_r")}
-    alive = jnp.any(fvalid)
-    for s in range(chain_steps):
+    runs device-side, and the host only sees fragmentation points.
+
+    The chain is a ``lax.while_loop`` with early exit: ``chain_steps`` is
+    only the BUFFER bound, so a tall trunk climbs in one dispatch while a
+    front that fragments on step 1 stops there (the fixed 4-step unrolled
+    chain still paid ~5 round-trips on tall trunks — STATUS gap 4)."""
+    S = chain_steps
+    per0 = dict(
+        fidx=jnp.full((S, cap), -1, jnp.int32),
+        fvalid=jnp.zeros((S, cap), bool),
+        lr=jnp.zeros(S, jnp.float32),
+        good=jnp.zeros(S, bool),
+        advanced=jnp.zeros(S, bool),
+        radius=jnp.zeros(S, jnp.float32),
+        axis=jnp.zeros((S, 3), jnp.float32),
+        center=jnp.zeros((S, 3), jnp.float32),
+        height=jnp.zeros(S, jnp.float32),
+        new_idx=jnp.full((S, cap), -1, jnp.int32),
+        new_valid=jnp.zeros((S, cap), bool),
+        labels=jnp.full((S, cap), -1, jnp.int32),
+        blocks=jnp.zeros((S, cap, 3), points.dtype),
+        child_r=jnp.zeros(S, jnp.float32),
+    )
+
+    def cond(st):
+        return st["alive"] & (st["s"] < S)
+
+    def body(st):
+        s = st["s"]
+        fidx, fvalid = st["fidx"], st["fvalid"]
+        last_radius, found = st["lr"], st["found"]
+        alive = st["alive"]
+        per = st["per"]
         fit = _fit_front(points, fidx, fvalid, keys[s], threshold=threshold,
                          max_radius=last_radius * radius_multiplier,
                          min_radius=min_radius, n_hypotheses=n_hypotheses)
@@ -357,22 +382,35 @@ def _qsm_chain_fused(
         ).astype(jnp.int32)
         child_valid = child_idx >= 0
 
-        per["fidx"].append(fidx); per["fvalid"].append(fvalid)
-        per["lr"].append(last_radius)
-        per["good"].append(good & alive); per["advanced"].append(advanced)
-        per["radius"].append(fit.radius); per["axis"].append(fit.axis)
-        per["center"].append(fit.center); per["height"].append(fit.height)
-        per["new_idx"].append(new_idx); per["new_valid"].append(new_valid)
-        per["labels"].append(labels); per["blocks"].append(blocks)
-        per["child_r"].append(child_r)
+        per = dict(
+            fidx=per["fidx"].at[s].set(fidx),
+            fvalid=per["fvalid"].at[s].set(fvalid),
+            lr=per["lr"].at[s].set(last_radius),
+            good=per["good"].at[s].set(good & alive),
+            advanced=per["advanced"].at[s].set(advanced),
+            radius=per["radius"].at[s].set(fit.radius),
+            axis=per["axis"].at[s].set(fit.axis),
+            center=per["center"].at[s].set(fit.center),
+            height=per["height"].at[s].set(fit.height),
+            new_idx=per["new_idx"].at[s].set(new_idx),
+            new_valid=per["new_valid"].at[s].set(new_valid),
+            labels=per["labels"].at[s].set(labels),
+            blocks=per["blocks"].at[s].set(blocks),
+            child_r=per["child_r"].at[s].set(child_r),
+        )
+        return dict(
+            s=s + 1, alive=advanced, found=found, per=per,
+            fidx=jnp.where(advanced, child_idx, -1),
+            fvalid=jnp.where(advanced, child_valid, False),
+            lr=child_r,
+        )
 
-        fidx = jnp.where(advanced, child_idx, -1)
-        fvalid = jnp.where(advanced, child_valid, False)
-        last_radius = child_r
-        alive = advanced
-
-    stacked = {k: jnp.stack(v) for k, v in per.items()}
-    return found, stacked, fidx, fvalid, last_radius
+    st = jax.lax.while_loop(cond, body, dict(
+        s=jnp.int32(0), alive=jnp.any(fvalid), found=found, per=per0,
+        fidx=fidx, fvalid=fvalid,
+        lr=jnp.asarray(last_radius, jnp.float32),
+    ))
+    return st["found"], st["per"], st["fidx"], st["fvalid"], st["lr"]
 
 
 # ---------------------------------------------------------------------------
@@ -507,7 +545,9 @@ def sphere_following_qsm(
             fidx, fvalid = pad_front(rows)
             queue.append(Front(fidx, fvalid, cr, child_order, cyl_id))
 
-    chain_steps = 4
+    # buffer bound, not a fixed unroll: the chain while_loop exits as soon
+    # as the front fragments, so a tall trunk rides one dispatch
+    chain_steps = 24
 
     while queue and steps < max_steps and len(cyls) < max_cylinders:
         if len(queue) == 1 and chain_steps > 1:

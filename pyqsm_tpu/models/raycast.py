@@ -47,9 +47,19 @@ def cast_scene(
         center = jnp.mean(v, axis=0)
     if eye is None:
         eye = center + jnp.array([0.0, 0.0, 10.0])
-    origins, dirs = pinhole_rays(eye, center, jnp.array([0.0, 1.0, 0.0]),
-                                 cfg.fov_deg, cfg.width_px, cfg.height_px)
-    hits = cast_rays(origins, dirs, mesh.vertices, mesh.triangles)
+    up = jnp.array([0.0, 1.0, 0.0])
+    if mesh.triangles.shape[0] >= 2048:
+        # screen-space tiled casting (Embree-BVH stand-in): exact closest
+        # hits + counts at 10-100x the brute path on big canopy scenes
+        from pyqsm_tpu.ops.raygrid import build_image_grid, image_cast
+
+        grid = build_image_grid(mesh.vertices, mesh.triangles, eye, center,
+                                up, cfg.fov_deg, cfg.width_px, cfg.height_px)
+        hits = image_cast(grid)
+    else:
+        origins, dirs = pinhole_rays(eye, center, up,
+                                     cfg.fov_deg, cfg.width_px, cfg.height_px)
+        hits = cast_rays(origins, dirs, mesh.vertices, mesh.triangles)
     a3, a2 = exposed_surface_area(hits, mesh.vertices, mesh.triangles)
     frac = float(jnp.mean((hits.tri >= 0).astype(jnp.float32)))
     return ExposureResult(hits, float(a3), float(a2), frac)

@@ -1,0 +1,519 @@
+"""3D uniform-grid acceleration structure for general ray bundles.
+
+TPU-native replacement for Embree's BVH (the reference rides
+``o3d.t.geometry.RaycastingScene`` — ``viz/ray_casting.py:65-71,279``).
+A BVH's divergent, stack-based traversal maps poorly onto a SIMD machine;
+a uniform grid marched with a 3-DDA keeps every ray in the tile executing
+the SAME loop: per step, one dense ELL gather of the current cell's
+triangle list + one [rays × cap] Möller–Trumbore batch on the VPU, then a
+lockstep DDA advance. Early termination: a ray retires as soon as its best
+hit lies inside the current cell interval (any farther cell can only
+produce larger t).
+
+Build is host-orchestrated (one sort, like Embree's own host-side build)
+and returns static-shape device arrays; traversal is fully jitted.
+
+Exactness: every triangle is registered in all cells its AABB touches, and
+a hit is only *terminal* once t ≤ the cell-exit parameter, so the closest
+hit is exact (oracle-tested against the brute Möller–Trumbore path).
+Crossing counts (occupancy parity) are deduplicated by counting a hit only
+in the cell interval [t_enter, t_exit) that contains it.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from pyqsm_tpu.ops.raytrace import Hits
+
+Array = jax.Array
+
+_EPS = 1e-9
+
+
+class Grid3D(NamedTuple):
+    lo: Array  # [3] grid origin (scene AABB min)
+    cell: float  # static cell edge
+    nx: int  # static dims
+    ny: int
+    nz: int
+    tri_of_slot: Array  # [ncells, cap] i32 triangle ids, -1 padded
+    v0: Array  # [T, 3] triangle origin (input order)
+    e1: Array  # [T, 3]
+    e2: Array  # [T, 3]
+    valid: Array  # [T] bool
+    residual: Array  # [nr] i32 ids tested brute-force by every ray (-1 pad)
+    skip: Array  # [ncells] u8 Chebyshev distance to nearest occupied cell
+    packed: Array  # [T, 16] f32 rows: v0 | e1 | e2 | valid | pad — ONE
+    #   gather per candidate (TPU gather cost scales with index count, not
+    #   row bytes: 64B rows ride the same DMA as 12B rows)
+    n_residual: int = 0  # static count of live residual ids
+
+    @property
+    def n_cells(self) -> int:
+        return self.nx * self.ny * self.nz
+
+    @property
+    def cap(self) -> int:
+        return self.tri_of_slot.shape[1]
+
+
+def build_grid3d(
+    vertices: Array,
+    triangles: Array,
+    target_tris_per_cell: float = 4.0,
+    max_cells_per_axis: int = 256,
+    cell_cap: int | None = None,
+    cap_percentile: float = 99.5,
+) -> Grid3D:
+    """Host-orchestrated uniform-grid build (one argsort).
+
+    Cell size balances two costs: ~``target_tris_per_cell`` triangles tested
+    per step vs DDA step count. Oversized triangles simply register in more
+    cells (the host build tolerates variable spans).
+
+    Dense hotspots (overlapping leaves at canopy cores) would otherwise set
+    the ELL cap for EVERY traversal step, so the cap is bounded at the
+    ``cap_percentile`` cell occupancy: triangles that overflow their cell are
+    removed from the grid entirely and moved to a global ``residual`` list
+    that every ray brute-tests once — exactness is preserved, and the
+    per-step gather stays narrow. ``cell_cap`` (explicit) still raises if
+    exceeded, for callers that require a bound with no residual pass.
+    """
+    verts = np.asarray(vertices, np.float64)
+    tris = np.asarray(triangles)
+    live = tris[:, 0] >= 0
+    t = np.maximum(tris, 0)
+    p0, p1, p2 = verts[t[:, 0]], verts[t[:, 1]], verts[t[:, 2]]
+    tlo = np.minimum(np.minimum(p0, p1), p2)
+    thi = np.maximum(np.maximum(p0, p1), p2)
+
+    scene_lo = np.where(live[:, None], tlo, np.inf).min(0)
+    scene_hi = np.where(live[:, None], thi, -np.inf).max(0)
+    if not np.isfinite(scene_lo).all():
+        scene_lo = np.zeros(3)
+        scene_hi = np.ones(3)
+    span = np.maximum(scene_hi - scene_lo, 1e-6)
+
+    n_live = max(int(live.sum()), 1)
+    # heuristic: n_cells ≈ n_live / target → cell ≈ (V·target/n)^(1/3),
+    # floored so no axis exceeds max_cells_per_axis and no cell is smaller
+    # than the median triangle extent (keeps per-triangle cell spans ~1-8)
+    vol = float(span.prod())
+    cell = (vol * target_tris_per_cell / n_live) ** (1.0 / 3.0)
+    ext = np.where(live[:, None], thi - tlo, 0.0)
+    if live.any():
+        med_ext = float(np.percentile(ext[live].max(1), 50))
+        cell = max(cell, med_ext)
+    cell = max(cell, float(span.max()) / max_cells_per_axis)
+    cell += 1e-9
+
+    dims = np.maximum((span / cell).astype(np.int64) + 1, 1)
+    nx, ny, nz = int(dims[0]), int(dims[1]), int(dims[2])
+
+    c_lo = np.clip(np.floor((tlo - scene_lo) / cell).astype(np.int64), 0,
+                   dims - 1)
+    c_hi = np.clip(np.floor((thi - scene_lo) / cell).astype(np.int64), 0,
+                   dims - 1)
+    spans = np.where(live[:, None], c_hi - c_lo + 1, 0)
+    sx = int(spans[:, 0].max()) if live.any() else 1
+    sy = int(spans[:, 1].max()) if live.any() else 1
+    sz = int(spans[:, 2].max()) if live.any() else 1
+
+    tri_ids = np.arange(len(tris), dtype=np.int64)
+    entries_cell = []
+    entries_tri = []
+    for dx in range(max(sx, 1)):
+        for dy in range(max(sy, 1)):
+            for dz in range(max(sz, 1)):
+                cx = c_lo[:, 0] + dx
+                cy = c_lo[:, 1] + dy
+                cz = c_lo[:, 2] + dz
+                touch = (
+                    (cx <= c_hi[:, 0]) & (cy <= c_hi[:, 1])
+                    & (cz <= c_hi[:, 2]) & live
+                )
+                if not touch.any():
+                    continue
+                cid = (cx * ny + cy) * nz + cz
+                entries_cell.append(np.where(touch, cid, -1))
+                entries_tri.append(np.where(touch, tri_ids, -1))
+    if entries_cell:
+        ec = np.concatenate(entries_cell)
+        et = np.concatenate(entries_tri)
+        keep = ec >= 0
+        ec, et = ec[keep], et[keep]
+    else:
+        ec = np.zeros(0, np.int64)
+        et = np.zeros(0, np.int64)
+
+    ncells = nx * ny * nz
+    order = np.argsort(ec, kind="stable")
+    ec, et = ec[order], et[order]
+    starts = np.searchsorted(ec, np.arange(ncells))
+    counts = np.diff(np.append(starts, len(ec)))
+    occupancy = int(counts.max()) if len(counts) else 0
+    if cell_cap is not None:
+        if occupancy > cell_cap:
+            raise ValueError(
+                f"cell_cap {cell_cap} < max triangles per cell {occupancy}; "
+                f"raise cell_cap or lower target_tris_per_cell"
+            )
+        cap = cell_cap
+        residual_ids = np.zeros(0, np.int64)
+    else:
+        nonzero = counts[counts > 0]
+        cap = int(np.percentile(nonzero, cap_percentile)) if len(nonzero) else 8
+        cap = min(max(cap, 8), max(occupancy, 8))
+        # overflow spill: a triangle past its cell's cap leaves the grid
+        # ENTIRELY (every registration) so crossings are never double-counted
+        within_all = np.arange(len(ec)) - starts[ec]
+        residual_ids = np.unique(et[within_all >= cap])
+        if len(residual_ids):
+            drop = np.isin(et, residual_ids)
+            ec, et = ec[~drop], et[~drop]
+            starts = np.searchsorted(ec, np.arange(ncells))
+    cap = max(-8 * (-cap // 8), 8)  # pad to a lane-friendly multiple of 8
+    within = np.arange(len(ec)) - starts[ec]
+    table = np.full((ncells, cap), -1, np.int32)
+    table[ec, within] = et.astype(np.int32)
+
+    nr = max(-8 * (-len(residual_ids) // 8), 8)
+    residual = np.full(nr, -1, np.int32)
+    residual[: len(residual_ids)] = residual_ids.astype(np.int32)
+
+    # proximity clouds: per-cell Chebyshev distance to the nearest occupied
+    # cell. Traversal safely jumps (skip-1) cells through verified-empty
+    # space with one u8 gather instead of a [cap]-wide triangle test.
+    occ = np.zeros(ncells, bool)
+    if len(ec):
+        occ[np.unique(ec)] = True
+    if occ.any() and not occ.all():
+        from scipy.ndimage import distance_transform_cdt
+
+        dist = distance_transform_cdt(
+            ~occ.reshape(nx, ny, nz), metric="chessboard"
+        ).reshape(-1)
+    else:
+        dist = np.zeros(ncells, np.int64)
+    skip = np.minimum(dist, 255).astype(np.uint8)
+
+    return Grid3D(
+        lo=jnp.asarray(scene_lo.astype(np.float32)),
+        cell=float(cell), nx=nx, ny=ny, nz=nz,
+        tri_of_slot=jnp.asarray(table),
+        v0=jnp.asarray(p0.astype(np.float32)),
+        e1=jnp.asarray((p1 - p0).astype(np.float32)),
+        e2=jnp.asarray((p2 - p0).astype(np.float32)),
+        valid=jnp.asarray(live),
+        residual=jnp.asarray(residual),
+        skip=jnp.asarray(skip),
+        packed=jnp.asarray(np.concatenate([
+            p0, p1 - p0, p2 - p0,
+            live[:, None].astype(np.float64),
+            np.zeros((len(tris), 6)),
+        ], axis=1).astype(np.float32)),
+        n_residual=int(len(residual_ids)),
+    )
+
+
+def _mt_batch(o, d, slots, packed, alive):
+    """Möller–Trumbore of each ray against its own candidate list.
+    o/d [RT,3]; slots [RT,C] (-1 pad); ``packed`` [T,16] v0|e1|e2|valid rows
+    (one 64B-row gather per candidate — the phase's dominant cost scales
+    with gather *index count*, so the three coordinate arrays ride one
+    fetch). Returns (t [RT,C], u, v) inf=miss."""
+    tid = jnp.maximum(slots, 0)
+    rows = packed[tid]  # [RT, C, 16]
+    tv0 = rows[..., 0:3]
+    te1 = rows[..., 3:6]
+    te2 = rows[..., 6:9]
+    ok = (slots >= 0) & (rows[..., 9] > 0.5) & alive[:, None]
+    pvec = jnp.cross(d[:, None, :], te2)
+    det = jnp.sum(te1 * pvec, -1)
+    inv = jnp.where(jnp.abs(det) > _EPS, 1.0 / det, 0.0)
+    tvec = o[:, None, :] - tv0
+    u = jnp.sum(tvec * pvec, -1) * inv
+    qvec = jnp.cross(tvec, te1)
+    v = jnp.sum(d[:, None, :] * qvec, -1) * inv
+    tt = jnp.sum(te2 * qvec, -1) * inv
+    hit = (
+        (jnp.abs(det) > _EPS) & (u >= -_EPS) & (v >= -_EPS)
+        & (u + v <= 1.0 + _EPS) & (tt > 1e-6) & ok
+    )
+    return jnp.where(hit, tt, jnp.inf), u, v
+
+
+@partial(jax.jit, static_argnames=(
+    "cell", "nx", "ny", "nz", "ray_tile", "max_steps", "count_all"))
+def _grid_cast3d(
+    origins: Array, dirs: Array,
+    lo: Array, cell: float, nx: int, ny: int, nz: int,
+    tri_of_slot: Array, packed: Array,
+    residual: Array, skip_tab: Array,
+    ray_tile: int, max_steps: int, count_all: bool,
+) -> Hits:
+    r = origins.shape[0]
+    dims = jnp.array([nx, ny, nz], jnp.int32)
+    hi = lo + dims.astype(jnp.float32) * cell
+    rem = (-r) % ray_tile
+    o_all = jnp.pad(origins.astype(jnp.float32), ((0, rem), (0, 0)))
+    d_all = jnp.pad(dirs.astype(jnp.float32), ((0, rem), (0, 0)),
+                    constant_values=1.0)
+
+    def tile(args):
+        o, d = args  # [RT, 3]
+        inv_d = jnp.where(d != 0, 1.0 / jnp.where(d == 0, 1.0, d), jnp.inf)
+        # slab test against the grid AABB
+        t0 = (lo[None, :] - o) * inv_d
+        t1 = (hi[None, :] - o) * inv_d
+        # d == 0 axes: inside-slab → (-inf, +inf), outside → empty
+        inside0 = (o >= lo[None, :]) & (o <= hi[None, :])
+        tmin_ax = jnp.where(d != 0, jnp.minimum(t0, t1),
+                            jnp.where(inside0, -jnp.inf, jnp.inf))
+        tmax_ax = jnp.where(d != 0, jnp.maximum(t0, t1),
+                            jnp.where(inside0, jnp.inf, -jnp.inf))
+        t_enter = jnp.maximum(jnp.max(tmin_ax, 1), 0.0)
+        t_exit_grid = jnp.min(tmax_ax, 1)
+        alive0 = t_enter <= t_exit_grid
+
+        pos = o + (t_enter[:, None] + 1e-6) * d
+        c0 = jnp.clip(jnp.floor((pos - lo[None, :]) / cell).astype(jnp.int32),
+                      0, dims[None, :] - 1)
+        step = jnp.where(d > 0, 1, jnp.where(d < 0, -1, 0)).astype(jnp.int32)
+        t_delta = jnp.where(d != 0, cell * jnp.abs(inv_d), jnp.inf)
+        # safe skip distance per Chebyshev unit: moving τ along the ray moves
+        # ≤ τ/t_delta_i cells on axis i, so τ = k·min(t_delta) stays within
+        # k cells of the start on every axis
+        min_td = jnp.min(t_delta, 1)
+
+        def t_max_of(c):
+            """Exit parameter of cell c along each axis (closed form —
+            recomputed instead of carried so skip-jumps can relocate cells)."""
+            nb = lo[None, :] + jnp.where(
+                d >= 0, (c + 1).astype(jnp.float32), c.astype(jnp.float32)
+            ) * cell
+            return jnp.where(d != 0, (nb - o) * inv_d, jnp.inf)
+
+        def cell_id(c):
+            return (c[:, 0] * ny + c[:, 1]) * nz + c[:, 2]
+
+        def skip_of(c, alive):
+            return jnp.where(
+                alive, skip_tab[jnp.where(alive, cell_id(c), 0)], 0
+            ).astype(jnp.int32)
+
+        def dda_step(c, move):
+            """One standard DDA advance for rays in ``move``; returns
+            (c', t_cur', stay_alive)."""
+            tm = t_max_of(c)
+            t_exit = jnp.min(tm, 1)
+            ax = jnp.argmin(tm, 1)
+            onehot = jax.nn.one_hot(ax, 3, dtype=jnp.int32)
+            c_new = c + onehot * step
+            oob = jnp.any((c_new < 0) | (c_new >= dims[None, :]), 1)
+            return (
+                jnp.where(move[:, None], jnp.clip(c_new, 0, dims[None, :] - 1), c),
+                t_exit,
+                jnp.logical_not(move & oob),
+            )
+
+        rt = o.shape[0]
+        state = dict(
+            c=c0, t_cur=t_enter, alive=alive0,
+            k=skip_of(c0, alive0),
+            best_t=jnp.full(rt, jnp.inf),
+            best_tri=jnp.full(rt, -1, jnp.int32),
+            best_uv=jnp.zeros((rt, 2)),
+            count=jnp.zeros(rt, jnp.int32),
+            it=jnp.int32(0),
+        )
+
+        def cond(s):
+            return jnp.any(s["alive"]) & (s["it"] < max_steps)
+
+        def body(s):
+            # ---- SKIP PHASE: march every alive ray to its next occupied
+            # cell. Work per iteration = one u8 gather + vector math — no
+            # triangle data touched. Rays in verified-empty space jump
+            # (k-1)·min_t_delta in one iteration (proximity clouds).
+            def skip_cond(ss):
+                return jnp.any(ss["alive"] & (ss["k"] > 0)) & (
+                    ss["jt"] < max_steps)
+
+            def skip_body(ss):
+                c, t_cur, alive, k = ss["c"], ss["t_cur"], ss["alive"], ss["k"]
+                move = alive & (k > 0)
+                jump = move & (k >= 2)
+                # long jump: land by parameter, relocate cell from position
+                tau = (k - 1).astype(jnp.float32) * min_td
+                t_jump = t_cur + tau
+                pj = o + t_jump[:, None] * d
+                c_jump = jnp.clip(
+                    jnp.floor((pj - lo[None, :]) / cell).astype(jnp.int32),
+                    0, dims[None, :] - 1)
+                # single step for k == 1
+                c_step, t_exit, ok_step = dda_step(c, move & ~jump)
+                c_new = jnp.where(jump[:, None], c_jump, c_step)
+                t_new = jnp.where(jump, t_jump,
+                                  jnp.where(move, t_exit, t_cur))
+                dead = (jump & (t_new >= t_exit_grid)) | ~ok_step
+                alive_new = alive & ~dead
+                return dict(
+                    c=c_new, t_cur=t_new, alive=alive_new,
+                    k=skip_of(c_new, alive_new), jt=ss["jt"] + 1,
+                )
+
+            # inner budget is per-phase: every iteration advances all k>0
+            # rays ≥1 cell, so the path length bounds it independently of
+            # how phases interleave across the tile
+            sk = jax.lax.while_loop(
+                skip_cond, skip_body,
+                dict(c=s["c"], t_cur=s["t_cur"], alive=s["alive"],
+                     k=s["k"], jt=jnp.int32(0)),
+            )
+            c, alive = sk["c"], sk["alive"]
+
+            # ---- TEST PHASE: every alive ray sits in an occupied cell —
+            # one [RT, cap] Möller–Trumbore batch
+            cid = jnp.where(alive, cell_id(c), 0)
+            slots = tri_of_slot[cid]  # [RT, cap]
+            tt, u, v = _mt_batch(o, d, slots, packed, alive)
+            hit = jnp.isfinite(tt)
+            # crossings deduplicated by assigning each hit POINT to exactly
+            # one cell with the same floor/clip arithmetic as the build (an
+            # interval test [t_cur, t_exit) is fp-fragile at boundaries: the
+            # same hit computes to slightly different t in adjacent cells)
+            p_hit = o[:, None, :] + tt[:, :, None] * d[:, None, :]
+            hc = jnp.clip(
+                jnp.floor((p_hit - lo[None, None, :]) / cell).astype(jnp.int32),
+                0, dims[None, None, :] - 1)
+            in_cell = hit & jnp.all(hc == c[:, None, :], -1)
+            count = s["count"] + jnp.sum(in_cell, 1).astype(jnp.int32)
+
+            j = jnp.argmin(tt, 1)
+            tmin = jnp.min(tt, 1)
+            better = tmin < s["best_t"]
+            best_tri = jnp.where(
+                better, jnp.take_along_axis(slots, j[:, None], 1)[:, 0],
+                s["best_tri"])
+            ub = jnp.take_along_axis(u, j[:, None], 1)[:, 0]
+            vb = jnp.take_along_axis(v, j[:, None], 1)[:, 0]
+            best_uv = jnp.where(better[:, None], jnp.stack([ub, vb], 1),
+                                s["best_uv"])
+            best_t = jnp.minimum(s["best_t"], tmin)
+
+            # advance past the tested cell
+            c_new, t_exit, ok_step = dda_step(c, alive)
+            done_hit = jnp.logical_not(count_all) & (best_t <= t_exit + 1e-6)
+            alive = alive & ok_step & jnp.logical_not(done_hit)
+            return dict(
+                c=c_new, t_cur=jnp.where(alive, t_exit, sk["t_cur"]),
+                alive=alive, k=skip_of(c_new, alive),
+                best_t=best_t, best_tri=best_tri, best_uv=best_uv,
+                count=count, it=s["it"] + 1,
+            )
+
+        s = jax.lax.while_loop(cond, body, state)
+        best_t, best_tri = s["best_t"], s["best_tri"]
+        best_uv, count = s["best_uv"], s["count"]
+
+        # residual pass: overflow-spilled triangles, brute-tested once per
+        # ray (they are absent from every cell, so no double counting)
+        if residual.shape[0] > 0:
+            r_slots = jnp.broadcast_to(residual[None, :],
+                                       (rt, residual.shape[0]))
+            tt, u, v = _mt_batch(o, d, r_slots, packed, alive0)
+            count = count + jnp.sum(jnp.isfinite(tt), 1).astype(jnp.int32)
+            j = jnp.argmin(tt, 1)
+            tmin = jnp.min(tt, 1)
+            better = tmin < best_t
+            best_tri = jnp.where(
+                better, jnp.take_along_axis(r_slots, j[:, None], 1)[:, 0],
+                best_tri)
+            ub = jnp.take_along_axis(u, j[:, None], 1)[:, 0]
+            vb = jnp.take_along_axis(v, j[:, None], 1)[:, 0]
+            best_uv = jnp.where(better[:, None], jnp.stack([ub, vb], 1),
+                                best_uv)
+            best_t = jnp.minimum(best_t, tmin)
+
+        miss = jnp.isinf(best_t)
+        return best_t, jnp.where(miss, -1, best_tri), best_uv, count
+
+    nt = o_all.shape[0] // ray_tile
+    t_, tri_, uv_, cnt_ = jax.lax.map(
+        tile, (o_all.reshape(nt, ray_tile, 3), d_all.reshape(nt, ray_tile, 3))
+    )
+    return Hits(
+        t=t_.reshape(-1)[:r], tri=tri_.reshape(-1)[:r],
+        uv=uv_.reshape(-1, 2)[:r], count=cnt_.reshape(-1)[:r],
+    )
+
+
+def grid_cast(
+    grid: Grid3D,
+    origins: Array,
+    dirs: Array,
+    ray_tile: int = 8192,
+    count_all: bool = False,
+    rays_per_dispatch: int = 1 << 21,
+) -> Hits:
+    """Cast arbitrary rays against a prebuilt grid. ``count_all=True``
+    marches every ray to the grid boundary so ``count`` holds the exact
+    crossing total (occupancy parity); otherwise rays retire at first
+    confirmed-closest hit.
+
+    Bundles larger than ``rays_per_dispatch`` are split into equal-shape
+    dispatches (compile once): a single device execution stays bounded, which
+    keeps remote-attached TPUs (per-RPC deadlines) and the host scheduler
+    responsive."""
+    # outer iterations each advance every alive ray ≥1 cell, and each inner
+    # skip phase is separately bounded, so the cell path length bounds both
+    max_steps = grid.nx + grid.ny + grid.nz + 4
+    residual = grid.residual if grid.n_residual > 0 \
+        else grid.residual[:0]
+
+    def one(o, d):
+        return _grid_cast3d(
+            o, d, grid.lo, grid.cell, grid.nx, grid.ny, grid.nz,
+            grid.tri_of_slot, grid.packed,
+            residual, grid.skip,
+            ray_tile=ray_tile, max_steps=max_steps, count_all=count_all,
+        )
+
+    r = origins.shape[0]
+    if r <= rays_per_dispatch:
+        return one(origins, dirs)
+    chunks = []
+    for s in range(0, r, rays_per_dispatch):
+        e = min(s + rays_per_dispatch, r)
+        o = origins[s:e]
+        d = dirs[s:e]
+        if e - s < rays_per_dispatch:  # pad so every dispatch shares a compile
+            pad = rays_per_dispatch - (e - s)
+            o = jnp.pad(o, ((0, pad), (0, 0)))
+            d = jnp.pad(d, ((0, pad), (0, 0)), constant_values=1.0)
+        h = one(o, d)
+        chunks.append(Hits(h.t[: e - s], h.tri[: e - s],
+                           h.uv[: e - s], h.count[: e - s]))
+    return Hits(
+        t=jnp.concatenate([h.t for h in chunks]),
+        tri=jnp.concatenate([h.tri for h in chunks]),
+        uv=jnp.concatenate([h.uv for h in chunks]),
+        count=jnp.concatenate([h.count for h in chunks]),
+    )
+
+
+def grid_occupancy(grid: Grid3D, points: Array, ray_tile: int = 4096) -> Array:
+    """Inside/outside by +z crossing parity via the grid (accelerated
+    ``ops.raytrace.occupancy``)."""
+    dirs = jnp.broadcast_to(
+        jnp.array([1.73205e-4, 2.23607e-4, 1.0], jnp.float32), points.shape
+    )
+    hits = grid_cast(grid, points, dirs, ray_tile=ray_tile, count_all=True)
+    return (hits.count % 2) == 1

@@ -234,6 +234,43 @@ def surface_clusters(mesh: TriMesh, min_triangles: int = 1) -> tuple[np.ndarray,
     return out, filtered
 
 
+def map_density(
+    mesh: TriMesh,
+    points: Array,
+    mask: Array | None = None,
+    radius: float = 0.2,
+    density_threshold_pctile: float = 0.0,
+) -> tuple[Array, Array, TriMesh]:
+    """Per-vertex point-density coloring + low-density trimming — the
+    Poisson-density analog of ref ``map_density`` (``mesh_processing.py:
+    196-217``: Poisson depth-10 densities → plasma colors → optional
+    ``remove_vertices_by_mask`` on a density quantile).
+
+    Density = number of cloud points within ``radius`` of each vertex
+    (device-side, via the shared neighbor engine). Returns
+    ``(density [V], colors [V, 3], trimmed_mesh)`` where trimmed_mesh drops
+    triangles touching vertices below the ``density_threshold_pctile``
+    density percentile (0 = keep everything, matching the reference's
+    commented-out default)."""
+    from pyqsm_tpu.ops.neighbors import radius_count
+    from pyqsm_tpu.utils.viz import color_continuous_map
+
+    if mask is None:
+        mask = jnp.ones(points.shape[0], dtype=bool)
+    dens = radius_count(mesh.vertices, points, radius=radius,
+                        point_mask=mask).astype(jnp.float32)
+    colors = jnp.asarray(color_continuous_map(np.asarray(dens)))
+    if density_threshold_pctile <= 0.0:
+        return dens, colors, mesh
+    thr = jnp.percentile(dens, density_threshold_pctile)
+    keep_v = dens >= thr
+    tris = mesh.triangles
+    live = tris[:, 0] >= 0
+    tri_keep = live & jnp.all(keep_v[jnp.maximum(tris, 0)], axis=1)
+    trimmed = jnp.where(tri_keep[:, None], tris, -1)
+    return dens, colors, TriMesh(mesh.vertices, trimmed)
+
+
 def mesh_properties(mesh: TriMesh) -> dict:
     """Manifold/watertight/area audit (ref ``check_properties``,
     ``mesh_processing.py:45-119``). Host-side."""

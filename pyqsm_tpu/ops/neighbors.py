@@ -719,6 +719,116 @@ def _cell_blocked_any_k(
 
 
 @partial(jax.jit, static_argnames=("radius", "k", "nc_cap", "cap", "dense_cap",
+                                   "cell_tile", "need_dists"))
+def _bucket_rows_any_k(
+    index: GridIndex,
+    radius: float,
+    k: int,
+    nc_cap: int,
+    cap: int,
+    dense_cap: int,
+    cell_tile: int = 512,
+    need_dists: bool = True,
+) -> tuple[Array, Array]:
+    """Bucket-row self radius-any-k: densify each occupied cell's bucket into
+    ONE row of a [NC, cap·3] array, then candidate fetch per cell is a row
+    gather of its 27 neighbor buckets — [cells × 27] gather indices instead
+    of the point-tiled path's [N × 27 × cap] (TPU gather cost scales with
+    index count, not row bytes, so whole buckets ride one fetch). The
+    distance block is dense [cell_tile, cap, 27·cap] VPU work. Results in
+    ORIGINAL point order; unsorted within each row."""
+    n = index.sorted_points.shape[0]
+    sp = index.sorted_points
+    sc = index.sorted_cell
+    cell_ids, starts, counts, _ = _build_buckets(index, nc_cap, cap)
+
+    # densified buckets (one scatter): coords + original ids per (cell, slot)
+    first = jnp.concatenate([jnp.array([True]), sc[1:] != sc[:-1]])
+    first = first & (sc < _INT32_MAX)
+    seg = jnp.cumsum(first.astype(jnp.int32)) - 1
+    within = jnp.arange(n, dtype=jnp.int32) - starts[jnp.clip(seg, 0, nc_cap - 1)]
+    row_ok = (sc < _INT32_MAX) & (within >= 0) & (within < cap)
+    b_row = jnp.where(row_ok, seg, nc_cap)
+    b_slot = jnp.where(row_ok, within, 0)
+    bucket_pts = jnp.full((nc_cap + 1, cap, 3), jnp.inf, sp.dtype).at[
+        b_row, b_slot
+    ].set(sp, mode="drop")
+    bucket_idx = jnp.full((nc_cap + 1, cap), -1, jnp.int32).at[
+        b_row, b_slot
+    ].set(index.sorted_idx, mode="drop")
+
+    # dense LUT: dense cell id -> bucket position (-1 empty)
+    live_cell = cell_ids < _INT32_MAX
+    lut = jnp.full(dense_cap + 1, -1, jnp.int32).at[
+        jnp.where(live_cell, jnp.clip(cell_ids, 0, dense_cap), dense_cap)
+    ].set(jnp.arange(nc_cap, dtype=jnp.int32), mode="drop")[:dense_cap]
+
+    dims = index.dims
+    cid = jnp.where(live_cell, cell_ids, 0)
+    cz = cid % dims[2]
+    cy = (cid // dims[2]) % dims[1]
+    cx = cid // (dims[1] * dims[2])
+    coords = jnp.stack([cx, cy, cz], axis=1)
+    nbr_coords = coords[:, None, :] + jnp.asarray(_NBR_OFFSETS)[None]
+    nbr_cid = _cell_id(nbr_coords, dims)
+    inb = (nbr_cid < _INT32_MAX) & live_cell[:, None]
+    nbr_pos = jnp.where(inb, lut[jnp.clip(nbr_cid, 0, dense_cap - 1)], -1)
+
+    r2 = radius * radius
+    nt = nc_cap // cell_tile
+
+    def tile(ti):
+        sl = partial(jax.lax.dynamic_slice_in_dim,
+                     start_index=ti * cell_tile, slice_size=cell_tile)
+        t_npos = sl(nbr_pos)  # [ct, 27]
+        has = t_npos >= 0
+        npos_safe = jnp.where(has, t_npos, nc_cap)
+        cand_p = bucket_pts[npos_safe]  # [ct, 27, cap, 3] — row gathers
+        cand_i = bucket_idx[npos_safe]  # [ct, 27, cap]
+        cand_ok = (cand_i >= 0) & has[:, :, None]
+        q_p = sl(bucket_pts[:nc_cap])  # [ct, cap, 3] contiguous slice
+        q_i = sl(bucket_idx[:nc_cap])  # [ct, cap]
+        q_ok = q_i >= 0
+        qf = jnp.where(jnp.isfinite(q_p), q_p, 0.0)
+        diff = qf[:, :, None, None, :] - jnp.where(
+            jnp.isfinite(cand_p), cand_p, 1e9)[:, None, :, :, :]
+        d2 = jnp.sum(diff * diff, axis=-1).reshape(cell_tile, cap, 27 * cap)
+        ok = (cand_ok.reshape(cell_tile, 1, -1) & (d2 <= r2)
+              & q_ok[:, :, None])
+        pos = jnp.cumsum(ok.astype(jnp.int32), axis=2) - 1
+        ci = cand_i.reshape(cell_tile, 1, -1)
+        outs_i, outs_d = [], []
+        for j in range(k):
+            mj = ok & (pos == j)
+            outs_i.append(jnp.max(jnp.where(mj, ci, -1), axis=2))
+            if need_dists:
+                outs_d.append(jnp.max(jnp.where(mj, d2, -jnp.inf), axis=2))
+        out_i = jnp.stack(outs_i, axis=-1).reshape(-1, k)
+        if need_dists:
+            out_d2 = jnp.stack(outs_d, axis=-1).reshape(-1, k)
+            out_d = jnp.where(
+                out_i >= 0, jnp.sqrt(jnp.maximum(out_d2, 0.0)), jnp.inf)
+        else:
+            out_d = jnp.where(out_i >= 0, 0.0, jnp.inf)
+        return out_d, out_i, q_i.reshape(-1)
+
+    d_t, i_t, rows_t = jax.lax.map(tile, jnp.arange(nt),
+                                   batch_size=min(8, nt))
+    rows = rows_t.reshape(-1)
+    safe_rows = jnp.where(rows >= 0, rows, n)
+    out_i = jnp.full((n + 1, k), -1, jnp.int32).at[safe_rows].set(
+        i_t.reshape(-1, k), mode="drop"
+    )[:n]
+    if need_dists:
+        out_d = jnp.full((n + 1, k), jnp.inf).at[safe_rows].set(
+            d_t.reshape(-1, k), mode="drop"
+        )[:n]
+    else:
+        out_d = jnp.where(out_i >= 0, 0.0, jnp.inf)
+    return out_d, out_i
+
+
+@partial(jax.jit, static_argnames=("radius", "k", "nc_cap", "cap", "dense_cap",
                                    "pt_tile", "need_dists"))
 def _point_tiled_any_k(
     index: GridIndex,
@@ -878,14 +988,14 @@ def grid_self_radius_knn(
         nc_cap *= 2
     if sort:
         return _cell_blocked_query(index, radius, k, nc_cap, cap, cell_tile)
-    # point-tiled path when the dense cell grid fits a LUT (pow2 to bound
+    # bucket-row path when the dense cell grid fits a LUT (pow2 to bound
     # recompiles); falls back to the searchsorted cell-blocked kernel
     dense = int(np.prod(np.asarray(index.dims)))
     if dense <= 64 * 1024 * 1024:
         dense_cap = 1024
         while dense_cap < dense:
             dense_cap *= 2
-        return _point_tiled_any_k(index, radius, k, nc_cap, cap, dense_cap,
+        return _bucket_rows_any_k(index, radius, k, nc_cap, cap, dense_cap,
                                   need_dists=need_dists)
     return _cell_blocked_any_k(index, radius, k, nc_cap, cap, cell_tile,
                                need_dists=need_dists)

@@ -1,16 +1,25 @@
-"""Grid-accelerated casting for parallel ray bundles.
+"""Grid-accelerated casting for structured ray bundles (sun + pinhole).
 
-The environmental simulator's headline workload is sun/rain exposure —
-millions of PARALLEL rays (one direction per bundle). For those, BVH
-traversal is overkill: project every triangle's AABB onto the plane
-perpendicular to the bundle, bin triangles into a 2D grid sized so any
-triangle spans ≤ 2×2 cells, and each ray tests only its own cell's
-triangle list. No per-ray traversal, no divergence — a fixed-shape
-(rays × cell_cap) Möller–Trumbore batch that rides the VPU/MXU.
+The environmental simulator's headline workloads are structured bundles:
+sun/rain exposure (millions of PARALLEL rays) and camera exposure casts
+(PINHOLE bundles, ref ``viz/ray_casting.py:262-313``). For both, BVH
+traversal is the wrong tool on a SIMD machine — each family admits a 2D
+binning in which the bundle is axis-aligned:
 
-Speedup over the brute tiles ≈ n_triangles / cell_cap (measured 30–100×
-on canopy scenes). Exact: completeness follows from the ≥max-extent cell
-size (every triangle is registered in all cells its AABB touches).
+- parallel bundles: bin triangle AABBs on the plane ⊥ to the direction
+  (``build_ray_grid``/``cell_cast_parallel``) — each grid cell's rays test
+  that cell's list as one dense block;
+- pinhole bundles: bin projected triangle AABBs in IMAGE space
+  (``build_image_grid``/``image_cast``) — each pixel tile tests its own
+  screen-space list, bucketed by occupancy so dense tiles don't set the
+  Möller–Trumbore width for the whole image.
+
+No per-ray traversal, no divergence, no per-ray gathers — fixed-shape
+(rays × cap) batches that ride the VPU (measured v5e single chip:
+75 Mrays/s sun, 13 Mrays/s pinhole 1280×950, on a 120k-triangle canopy).
+Exact: every triangle is registered in all cells/tiles its (projected)
+AABB touches; eye-straddling triangles fall back to a brute residual pass.
+Arbitrary unstructured rays go through ``ops.grid3d`` instead.
 """
 
 from __future__ import annotations
@@ -203,6 +212,322 @@ def grid_cast_parallel(grid: RayGrid, origins: Array, dirs: Array,
         grid.tri_of_slot, grid.v0, grid.e1, grid.e2, grid.valid,
         ray_tile=ray_tile,
     )
+
+
+class ImageGrid(NamedTuple):
+    """Screen-space tiled binning for PINHOLE bundles: a pinhole bundle is
+    'parallel' in image space, so the 2D-grid trick applies — triangles are
+    registered in every pixel tile their projected AABB touches, and each
+    pixel tests only its own tile's list (dense [tile, rpc, cap] MT blocks,
+    no per-ray gathers). Exact closest hits + exact crossing counts: every
+    triangle covering a pixel is in that pixel's tile list exactly once.
+    Triangles with any vertex at or behind the eye plane go to ``residual``
+    and are brute-tested by every pixel."""
+
+    eye: Array  # [3]
+    right: Array  # [3] camera basis
+    true_up: Array
+    fwd: Array
+    half: float  # tan(fov/2)
+    aspect: float
+    width: int
+    height: int
+    tile_px: int
+    tri_of_slot: Array  # [ntiles, cap] i32
+    v0: Array
+    e1: Array
+    e2: Array
+    valid: Array
+    residual: Array  # [nr] i32 behind/straddling-eye triangles (-1 pad)
+    # occupancy buckets, precomputed at build: ((cap, tile_ids), ...) with
+    # device-resident id arrays — a tile only pays a Möller–Trumbore width
+    # matched to its own load, and casts never upload anything
+    buckets: tuple = ()
+
+
+def build_image_grid(
+    vertices: Array,
+    triangles: Array,
+    eye: Array,
+    center: Array,
+    up: Array,
+    fov_deg: float,
+    width_px: int,
+    height_px: int,
+    tile_px: int = 8,
+) -> ImageGrid:
+    """Host-orchestrated screen-space build (one sort), Embree-BVH stand-in
+    for the reference's pinhole casts (``viz/ray_casting.py:262-313``)."""
+    eye = np.asarray(eye, np.float64)
+    center = np.asarray(center, np.float64)
+    up = np.asarray(up, np.float64)
+    fwd = center - eye
+    fwd /= max(np.linalg.norm(fwd), 1e-12)
+    right = np.cross(fwd, up)
+    right /= max(np.linalg.norm(right), 1e-12)
+    true_up = np.cross(right, fwd)
+    half = float(np.tan(np.radians(fov_deg) / 2.0))
+    aspect = width_px / height_px
+
+    tris = np.asarray(triangles)
+    live = tris[:, 0] >= 0
+    verts = np.asarray(vertices, np.float64)
+    t = np.maximum(tris, 0)
+    p = np.stack([verts[t[:, 0]], verts[t[:, 1]], verts[t[:, 2]]], 1)  # [T,3,3]
+    rel = p - eye
+    x = rel @ right
+    y = rel @ true_up
+    w = rel @ fwd
+    front = live & (w > 1e-6).all(1)
+    # pixel coords of each vertex (perspective divide), matching pinhole_rays
+    sx = x / np.maximum(w, 1e-12) / (half * aspect)
+    sy = y / np.maximum(w, 1e-12) / half
+    px = (sx + 1.0) / 2.0 * width_px
+    py = (1.0 - sy) / 2.0 * height_px
+    ntx = -(-width_px // tile_px)
+    nty = -(-height_px // tile_px)
+    tx_lo = np.clip(np.floor(px.min(1) / tile_px).astype(np.int64), 0, ntx - 1)
+    tx_hi = np.clip(np.floor(px.max(1) / tile_px).astype(np.int64), 0, ntx - 1)
+    ty_lo = np.clip(np.floor(py.min(1) / tile_px).astype(np.int64), 0, nty - 1)
+    ty_hi = np.clip(np.floor(py.max(1) / tile_px).astype(np.int64), 0, nty - 1)
+    # cull triangles fully outside the image
+    visible = front & (px.max(1) >= 0) & (px.min(1) < width_px) \
+        & (py.max(1) >= 0) & (py.min(1) < height_px)
+
+    tri_ids = np.arange(len(tris), dtype=np.int64)
+    sx_span = int((tx_hi - tx_lo)[visible].max() + 1) if visible.any() else 1
+    sy_span = int((ty_hi - ty_lo)[visible].max() + 1) if visible.any() else 1
+    entries_cell, entries_tri = [], []
+    for dx in range(sx_span):
+        for dy in range(sy_span):
+            cx = tx_lo + dx
+            cy = ty_lo + dy
+            touch = (cx <= tx_hi) & (cy <= ty_hi) & visible
+            if not touch.any():
+                continue
+            entries_cell.append(np.where(touch, cx * nty + cy, -1))
+            entries_tri.append(np.where(touch, tri_ids, -1))
+    if entries_cell:
+        ec = np.concatenate(entries_cell)
+        et = np.concatenate(entries_tri)
+        keep = ec >= 0
+        ec, et = ec[keep], et[keep]
+    else:
+        ec = np.zeros(0, np.int64)
+        et = np.zeros(0, np.int64)
+    ntiles = ntx * nty
+    order = np.argsort(ec, kind="stable")
+    ec, et = ec[order], et[order]
+    starts = np.searchsorted(ec, np.arange(ntiles))
+    within = np.arange(len(ec)) - starts[ec]
+    cap = int(within.max() + 1) if len(within) else 1
+    cap = max(-8 * (-cap // 8), 8)
+    table = np.full((ntiles, cap), -1, np.int32)
+    table[ec, within] = et.astype(np.int32)
+
+    res_ids = tri_ids[live & ~front & ~(w <= 1e-6).all(1)]
+    nr = max(-8 * (-len(res_ids) // 8), 8)
+    residual = np.full(nr, -1, np.int32)
+    residual[: len(res_ids)] = res_ids.astype(np.int32)
+
+    v0 = p[:, 0].astype(np.float32)
+    occ = (table >= 0).sum(1)
+    buckets = []
+    bcap, lo_occ = 8, 0
+    max_occ = int(occ.max()) if len(occ) else 0
+    while lo_occ < max_occ:
+        sel = np.flatnonzero((occ > lo_occ) & (occ <= bcap))
+        if len(sel):
+            padded = 512
+            while padded < len(sel):
+                padded *= 2
+            ids = np.concatenate(
+                [sel, np.full(padded - len(sel), -1)]).astype(np.int32)
+            buckets.append((min(bcap, cap), jnp.asarray(ids)))
+        lo_occ = bcap
+        bcap *= 2
+
+    return ImageGrid(
+        eye=jnp.asarray(eye.astype(np.float32)),
+        right=jnp.asarray(right.astype(np.float32)),
+        true_up=jnp.asarray(true_up.astype(np.float32)),
+        fwd=jnp.asarray(fwd.astype(np.float32)),
+        half=half, aspect=aspect,
+        width=width_px, height=height_px, tile_px=tile_px,
+        tri_of_slot=jnp.asarray(table),
+        v0=jnp.asarray(v0),
+        e1=jnp.asarray((p[:, 1] - p[:, 0]).astype(np.float32)),
+        e2=jnp.asarray((p[:, 2] - p[:, 0]).astype(np.float32)),
+        valid=jnp.asarray(live),
+        residual=jnp.asarray(residual),
+        buckets=tuple(buckets),
+    )
+
+
+def _image_cast_tiles(
+    tile_ids: Array,  # [M] i32 tile ids to process (-1 pad)
+    eye: Array, right: Array, true_up: Array, fwd: Array,
+    half: float, aspect: float, width: int, height: int, tile_px: int,
+    tri_of_slot: Array, v0: Array, e1: Array, e2: Array, valid: Array,
+    tiles_per_block: int = 512,
+):
+    """Cast the pixels of the listed tiles only, at this table's cap —
+    callers bucket tiles by occupancy so each tile pays a cap matched to
+    its own load instead of the global max (empty tiles never dispatch)."""
+    nty = -(-height // tile_px)
+    cap = tri_of_slot.shape[1]
+    rpc = tile_px * tile_px
+    # pixel offsets within a tile
+    oy, ox = jnp.meshgrid(jnp.arange(tile_px), jnp.arange(tile_px),
+                          indexing="ij")
+    ox = ox.ravel()
+    oy = oy.ravel()
+
+    m = tile_ids.shape[0]
+    nb = -(-m // tiles_per_block)
+    ids = jnp.pad(tile_ids, (0, nb * tiles_per_block - m),
+                  constant_values=-1)
+
+    def block(bi):
+        tids = jax.lax.dynamic_slice_in_dim(ids, bi * tiles_per_block,
+                                            tiles_per_block)
+        live_tile = tids >= 0
+        tids = jnp.maximum(tids, 0)
+        tx = tids // nty
+        ty = tids % nty
+        pxs = (tx[:, None] * tile_px + ox[None, :]).astype(jnp.float32) + 0.5
+        pys = (ty[:, None] * tile_px + oy[None, :]).astype(jnp.float32) + 0.5
+        sx = pxs / width * 2.0 - 1.0
+        sy = 1.0 - pys / height * 2.0
+        d = (fwd[None, None, :]
+             + sx[..., None] * (half * aspect) * right[None, None, :]
+             + sy[..., None] * half * true_up[None, None, :])
+        d = d / jnp.linalg.norm(d, axis=-1, keepdims=True)  # [TB, rpc, 3]
+        slots = tri_of_slot[tids]  # [TB, cap] — one row gather per tile
+        tid = jnp.maximum(slots, 0)
+        ok_tri = (slots >= 0) & valid[tid] & live_tile[:, None]  # [TB, cap]
+        tv0 = v0[tid] - eye[None, None, :]  # [TB, cap, 3] (origin at eye)
+        te1 = e1[tid]
+        te2 = e2[tid]
+        pvec = jnp.cross(d[:, :, None, :], te2[:, None, :, :])  # [TB,rpc,cap,3]
+        det = jnp.sum(te1[:, None, :, :] * pvec, -1)
+        inv = jnp.where(jnp.abs(det) > 1e-9, 1.0 / det, 0.0)
+        tvec = -tv0[:, None, :, :]  # origins - v0 = -(v0 - eye)
+        uu = jnp.sum(tvec * pvec, -1) * inv
+        qvec = jnp.cross(tvec, te1[:, None, :, :])
+        vv = jnp.sum(d[:, :, None, :] * qvec, -1) * inv
+        tt = jnp.sum(te2[:, None, :, :] * qvec, -1) * inv
+        hit = ((jnp.abs(det) > 1e-9) & (uu >= -1e-9) & (vv >= -1e-9)
+               & (uu + vv <= 1 + 1e-9) & (tt > 1e-6) & ok_tri[:, None, :])
+        tt = jnp.where(hit, tt, jnp.inf)
+        cnt = jnp.sum(hit, -1).astype(jnp.int32)
+        j = jnp.argmin(tt, -1)
+        tmin = jnp.min(tt, -1)
+        tri_best = jnp.where(
+            jnp.isfinite(tmin),
+            jnp.take_along_axis(
+                jnp.broadcast_to(slots[:, None, :],
+                                 (tiles_per_block, rpc, cap)),
+                j[..., None], 2)[..., 0],
+            -1)
+        ub = jnp.take_along_axis(uu, j[..., None], 2)[..., 0]
+        vb = jnp.take_along_axis(vv, j[..., None], 2)[..., 0]
+        return tmin, tri_best, ub, vb, cnt
+
+    t_, tri_, u_, v_, cnt_ = jax.lax.map(block, jnp.arange(nb))
+    flat = lambda x: x.reshape(-1, rpc)[:m]
+    return flat(t_), flat(tri_), flat(u_), flat(v_), flat(cnt_)
+
+
+@partial(jax.jit, static_argnames=("half", "aspect", "width", "height",
+                                   "tile_px", "caps", "tiles_per_block"))
+def _image_cast_fused(
+    ids_list,  # tuple of [Mb] i32 tile-id arrays, one per occupancy bucket
+    eye, right, true_up, fwd,
+    half: float, aspect: float, width: int, height: int, tile_px: int,
+    tri_of_slot, v0, e1, e2, valid,
+    caps: tuple, tiles_per_block: int,
+):
+    """All buckets + scatter-assembly in ONE dispatch — eager per-bucket
+    calls each paid host↔device round-trip latency (dominant on
+    remote-attached TPUs)."""
+    ntx = -(-width // tile_px)
+    nty = -(-height // tile_px)
+    tp = tile_px
+    rpc = tp * tp
+    ntiles = ntx * nty
+    t_all = jnp.full((ntiles + 1, rpc), jnp.inf, jnp.float32)
+    tri_all = jnp.full((ntiles + 1, rpc), -1, jnp.int32)
+    u_all = jnp.zeros((ntiles + 1, rpc), jnp.float32)
+    v_all = jnp.zeros((ntiles + 1, rpc), jnp.float32)
+    cnt_all = jnp.zeros((ntiles + 1, rpc), jnp.int32)
+    for cap, ids in zip(caps, ids_list):
+        t_, tri_, u_, v_, cnt_ = _image_cast_tiles(
+            ids, eye, right, true_up, fwd,
+            half, aspect, width, height, tp,
+            tri_of_slot[:, :cap], v0, e1, e2, valid,
+            tiles_per_block=tiles_per_block,
+        )
+        row = jnp.where(ids >= 0, ids, ntiles)
+        t_all = t_all.at[row].set(t_, mode="drop")
+        tri_all = tri_all.at[row].set(tri_, mode="drop")
+        u_all = u_all.at[row].set(u_, mode="drop")
+        v_all = v_all.at[row].set(v_, mode="drop")
+        cnt_all = cnt_all.at[row].set(cnt_, mode="drop")
+
+    def to_image(flat):
+        img = flat[:ntiles].reshape(ntx, nty, tp, tp)  # [tx, ty, oy, ox]
+        img = jnp.transpose(img, (1, 2, 0, 3))  # [ty, oy, tx, ox]
+        img = img.reshape(nty * tp, ntx * tp)
+        return img[:height, :width].reshape(-1)
+
+    return (to_image(t_all), to_image(tri_all), to_image(u_all),
+            to_image(v_all), to_image(cnt_all))
+
+
+def image_cast(grid: ImageGrid, tiles_per_block: int = 512) -> Hits:
+    """Cast the full pinhole image against the prebuilt screen-space grid.
+    Returns Hits in row-major pixel order (same layout as
+    ``ops.raytrace.pinhole_rays``).
+
+    Tiles are bucketed by occupancy (powers of two): a tile's pixel block
+    only tests a candidate list sized to ITS occupancy — without this, one
+    dense tile (a whole far canopy projecting into a few tiles) sets the
+    Möller–Trumbore width for every tile in the image. Empty tiles are
+    never dispatched at all."""
+    caps = tuple(int(c) for c, _ in grid.buckets)
+    ids_list = tuple(ids for _, ids in grid.buckets)
+    t, tri, u_, v_, cnt = _image_cast_fused(
+        ids_list,
+        grid.eye, grid.right, grid.true_up, grid.fwd,
+        grid.half, grid.aspect, grid.width, grid.height, grid.tile_px,
+        grid.tri_of_slot, grid.v0, grid.e1, grid.e2, grid.valid,
+        caps=caps, tiles_per_block=tiles_per_block,
+    )
+    uv = jnp.stack([u_, v_], 1)
+
+    if grid.residual.shape[0] and bool(grid.residual[0] >= 0):
+        from pyqsm_tpu.ops.raytrace import cast_rays, pinhole_rays
+
+        origins, dirs = pinhole_rays(
+            grid.eye, grid.eye + grid.fwd, grid.true_up,
+            float(np.degrees(2 * np.arctan(grid.half))),
+            grid.width, grid.height)
+        rid = np.asarray(grid.residual)
+        rid = rid[rid >= 0]
+        # brute MT on the few eye-straddling triangles via the generic engine
+        verts_r = jnp.concatenate(
+            [grid.v0[rid][:, None, :], (grid.v0 + grid.e1)[rid][:, None, :],
+             (grid.v0 + grid.e2)[rid][:, None, :]], 1).reshape(-1, 3)
+        tris_flat = jnp.arange(verts_r.shape[0], dtype=jnp.int32).reshape(-1, 3)
+        h = cast_rays(origins, dirs, verts_r, tris_flat, backend="xla")
+        better = h.t < t
+        t = jnp.minimum(t, h.t)
+        tri = jnp.where(better, jnp.asarray(rid, jnp.int32)[
+            jnp.clip(h.tri, 0, len(rid) - 1)], tri)
+        uv = jnp.where(better[:, None], h.uv, uv)
+        cnt = cnt + h.count
+    return Hits(t=t, tri=tri, uv=uv, count=cnt)
 
 
 class CellCastResult(NamedTuple):

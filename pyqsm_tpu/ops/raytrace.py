@@ -82,10 +82,21 @@ def cast_rays(
     ``list_intersections`` capabilities in one pass).
 
     ``backend``: 'xla' (scanned tiles), 'pallas' (fused VMEM-resident
-    kernel, ``ops.pallas_kernels.mt_raycast``), or 'auto' (pallas on TPU,
-    xla elsewhere)."""
+    kernel, ``ops.pallas_kernels.mt_raycast``), 'grid' (uniform-grid DDA
+    acceleration, ``ops.grid3d`` — built per call; prebuild with
+    ``build_grid3d`` + ``grid_cast`` to amortise over bundles), or 'auto'
+    (grid for scenes past the brute crossover, else pallas on TPU / xla
+    elsewhere)."""
     if backend == "auto":
-        backend = "pallas" if jax.default_backend() == "tpu" else "xla"
+        if triangles.shape[0] >= 4096:
+            backend = "grid"
+        else:
+            backend = "pallas" if jax.default_backend() == "tpu" else "xla"
+    if backend == "grid":
+        from pyqsm_tpu.ops.grid3d import build_grid3d, grid_cast
+
+        grid = build_grid3d(vertices, triangles)
+        return grid_cast(grid, origins, dirs, count_all=True)
     if backend == "pallas":
         from pyqsm_tpu.ops.pallas_kernels import mt_raycast
 

@@ -1,0 +1,153 @@
+"""Oracle tests: 3D uniform-grid DDA traversal vs brute Möller–Trumbore.
+
+The grid is the general-bundle acceleration structure (Embree BVH analog,
+ref viz/ray_casting.py:65-71); these tests pin exactness of closest hits,
+crossing counts (occupancy parity), and degenerate-direction handling.
+"""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from pyqsm_tpu.ops.grid3d import build_grid3d, grid_cast, grid_occupancy
+from pyqsm_tpu.ops.mesh import cylinder_mesh, merge_meshes, sphere_mesh
+from pyqsm_tpu.ops.raytrace import cast_rays, occupancy, pinhole_rays
+
+
+def _scene():
+    return merge_meshes([
+        sphere_mesh(jnp.array([0.0, 0, 3.0]), 1.0, n_lat=10, n_lon=20),
+        cylinder_mesh(jnp.array([0.0, 0, 1.0]), jnp.array([0.0, 0, 1]), 0.3, 2.0),
+        cylinder_mesh(jnp.array([3.0, 1, 1.5]), jnp.array([0.3, 0, 0.95]), 0.2, 3.0),
+        sphere_mesh(jnp.array([-2.0, 2, 2.0]), 0.7, n_lat=8, n_lon=12),
+    ])
+
+
+def _assert_hits_match(hits, ref, vertices, triangles):
+    t, tr = np.asarray(hits.t), np.asarray(ref.t)
+    np.testing.assert_array_equal(np.isfinite(t), np.isfinite(tr))
+    h = np.isfinite(tr)
+    np.testing.assert_allclose(t[h], tr[h], rtol=1e-4, atol=1e-4)
+    # triangle ids may differ only where two triangles tie at the same t
+    diff = h & (np.asarray(hits.tri) != np.asarray(ref.tri))
+    assert diff.mean() < 0.01
+
+
+def test_pinhole_matches_brute(rng):
+    mesh = _scene()
+    center = jnp.mean(mesh.vertices, axis=0)
+    eye = center + jnp.array([4.0, -6.0, 5.0])
+    origins, dirs = pinhole_rays(eye, center, jnp.array([0.0, 0, 1.0]),
+                                 70.0, 96, 72)
+    ref = cast_rays(origins, dirs, mesh.vertices, mesh.triangles,
+                    backend="xla")
+    grid = build_grid3d(mesh.vertices, mesh.triangles)
+    hits = grid_cast(grid, origins, dirs, ray_tile=2048)
+    _assert_hits_match(hits, ref, mesh.vertices, mesh.triangles)
+
+
+def test_random_rays_match_brute_with_counts(rng):
+    mesh = _scene()
+    v = np.asarray(mesh.vertices)
+    lo, hi = v.min(0), v.max(0)
+    n = 3000
+    # random origins inside AND outside the scene box, random directions
+    origins = rng.uniform(lo - 2.0, hi + 2.0, (n, 3)).astype(np.float32)
+    dirs = rng.normal(size=(n, 3)).astype(np.float32)
+    dirs /= np.linalg.norm(dirs, axis=1, keepdims=True)
+    ref = cast_rays(jnp.asarray(origins), jnp.asarray(dirs),
+                    mesh.vertices, mesh.triangles, backend="xla")
+    grid = build_grid3d(mesh.vertices, mesh.triangles)
+    hits = grid_cast(grid, jnp.asarray(origins), jnp.asarray(dirs),
+                     ray_tile=1024, count_all=True)
+    _assert_hits_match(hits, ref, mesh.vertices, mesh.triangles)
+    np.testing.assert_array_equal(np.asarray(hits.count), np.asarray(ref.count))
+
+
+def test_axis_aligned_rays(rng):
+    # d has zero components — the DDA must handle inf t_max axes
+    mesh = _scene()
+    v = np.asarray(mesh.vertices)
+    lo, hi = v.min(0), v.max(0)
+    n = 400
+    origins = rng.uniform(lo - 1.0, hi + 1.0, (n, 3)).astype(np.float32)
+    axes = np.eye(3, dtype=np.float32)
+    dirs = np.concatenate([
+        np.tile(a, (n // 6, 1)) * s for a in axes for s in (1.0, -1.0)
+    ])
+    origins = origins[: len(dirs)]
+    ref = cast_rays(jnp.asarray(origins), jnp.asarray(dirs),
+                    mesh.vertices, mesh.triangles, backend="xla")
+    grid = build_grid3d(mesh.vertices, mesh.triangles)
+    hits = grid_cast(grid, jnp.asarray(origins), jnp.asarray(dirs),
+                     ray_tile=512, count_all=True)
+    _assert_hits_match(hits, ref, mesh.vertices, mesh.triangles)
+    np.testing.assert_array_equal(np.asarray(hits.count), np.asarray(ref.count))
+
+
+def test_grid_occupancy_matches_brute(rng):
+    mesh = sphere_mesh(jnp.array([0.0, 0, 0.0]), 1.0, n_lat=12, n_lon=24)
+    pts = rng.uniform(-1.5, 1.5, (800, 3)).astype(np.float32)
+    ref = occupancy(jnp.asarray(pts), mesh.vertices, mesh.triangles)
+    grid = build_grid3d(mesh.vertices, mesh.triangles)
+    got = grid_occupancy(grid, jnp.asarray(pts), ray_tile=1024)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
+    # sanity: points well inside really are inside
+    inside = np.linalg.norm(pts, axis=1) < 0.8
+    assert np.asarray(got)[inside].all()
+
+
+def test_padded_triangles_ignored(rng):
+    mesh = _scene()
+    tris = jnp.concatenate(
+        [mesh.triangles, jnp.full((13, 3), -1, jnp.int32)], axis=0)
+    grid = build_grid3d(mesh.vertices, tris)
+    center = jnp.mean(mesh.vertices, axis=0)
+    origins, dirs = pinhole_rays(center + jnp.array([0.0, 0, 8.0]), center,
+                                 jnp.array([0.0, 1, 0.0]), 80.0, 32, 32)
+    hits = grid_cast(grid, origins, dirs)
+    ref = cast_rays(origins, dirs, mesh.vertices, mesh.triangles,
+                    backend="xla")
+    np.testing.assert_array_equal(np.isfinite(np.asarray(hits.t)),
+                                  np.isfinite(np.asarray(ref.t)))
+    assert int(jnp.sum(hits.tri >= 0)) > 20
+    assert int(jnp.max(hits.tri)) < mesh.triangles.shape[0]
+
+
+def test_dense_hotspot_spills_to_residual(rng):
+    # a dense clump of tiny triangles in one corner + sparse scene elsewhere:
+    # the clump overflows the percentile cap and must spill, staying exact
+    n = 600
+    c = rng.normal([0.0, 0, 0], 0.05, (n, 3)).astype(np.float32)
+    u = rng.normal(size=(n, 3)).astype(np.float32)
+    u /= np.linalg.norm(u, axis=1, keepdims=True)
+    w = rng.normal(size=(n, 3)).astype(np.float32)
+    w -= (w * u).sum(1, keepdims=True) * u
+    w /= np.linalg.norm(w, axis=1, keepdims=True)
+    s = 0.02
+    verts = np.concatenate([c - s * u, c + s * u, c + s * w])
+    tris = np.stack([np.arange(n), np.arange(n) + n, np.arange(n) + 2 * n],
+                    1).astype(np.int32)
+    far = sphere_mesh(jnp.array([4.0, 0, 0.0]), 0.5, n_lat=6, n_lon=10)
+    verts = jnp.concatenate([jnp.asarray(verts), far.vertices])
+    tris = jnp.concatenate([jnp.asarray(tris),
+                            far.triangles + 3 * n])
+    grid = build_grid3d(verts, tris, cap_percentile=90.0)
+    assert grid.n_residual > 0  # the clump spilled
+    origins = rng.uniform(-1.5, 5.0, (1500, 3)).astype(np.float32)
+    dirs = rng.normal(size=(1500, 3)).astype(np.float32)
+    dirs /= np.linalg.norm(dirs, axis=1, keepdims=True)
+    ref = cast_rays(jnp.asarray(origins), jnp.asarray(dirs), verts, tris,
+                    backend="xla")
+    hits = grid_cast(grid, jnp.asarray(origins), jnp.asarray(dirs),
+                     ray_tile=512, count_all=True)
+    _assert_hits_match(hits, ref, verts, tris)
+    np.testing.assert_array_equal(np.asarray(hits.count), np.asarray(ref.count))
+
+
+def test_cap_overflow_raises():
+    verts = jnp.asarray(np.tile(
+        np.array([[0, 0, 0], [1, 0, 0], [0, 1, 0]], np.float32), (300, 1)))
+    tris = jnp.asarray(np.arange(900, dtype=np.int32).reshape(300, 3))
+    with pytest.raises(ValueError):
+        build_grid3d(verts, tris, cell_cap=64)

@@ -93,3 +93,29 @@ def test_exclude_regions(rng):
     labels, low, high = id_trunk_bases(jnp.asarray(pts), mask, cfg, [region])
     lab = np.asarray(labels)
     assert len(np.unique(lab[lab >= 0])) == 1
+
+
+def test_observed_growth_matches_unobserved(rng, tmp_path):
+    """Host-stepped chunked growth (observer mode) must produce identical
+    labels to one uninterrupted run, and fire the observer with snapshots."""
+    pts = two_tree_plot(rng)
+    mask = jnp.ones(len(pts), bool)
+    cfg = IsolationConfig(base_min_points=50, low_pctile=5.0, max_dist=0.35,
+                          cycles=300, min_frontier=2)
+    ref = build_trees(jnp.asarray(pts), mask, cfg, neighbor_cap=16)
+
+    from pyqsm_tpu.utils.viz import StepLogger
+
+    logger = StepLogger(tmp_path, "growth")
+    calls = []
+
+    def observer(cycle, points, labels, order):
+        calls.append(cycle)
+        logger.log(cycle, points, labels=labels, order=order)
+
+    res = build_trees(jnp.asarray(pts), mask, cfg, neighbor_cap=16,
+                      observer=observer, observe_every=7)
+    np.testing.assert_array_equal(np.asarray(res.labels), np.asarray(ref.labels))
+    np.testing.assert_array_equal(np.asarray(res.order), np.asarray(ref.order))
+    assert len(calls) >= 2  # several chunks observed
+    assert len(list((tmp_path / "growth").glob("step_*.npz"))) == len(calls)

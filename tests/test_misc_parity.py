@@ -50,3 +50,31 @@ def test_octree(rng):
     path = containing_path(root, pts[123])
     assert path[0] is root and path[-1].is_leaf
     assert 123 in path[-1].indices
+
+
+def test_map_density(rng):
+    """Poisson-density analog (ref mesh_processing.py:196-217): vertices near
+    dense cloud regions score high; low-density trimming drops triangles."""
+    import jax.numpy as jnp
+    import numpy as np
+    from pyqsm_tpu.ops.mesh import map_density, sphere_mesh
+
+    mesh = sphere_mesh(jnp.array([0.0, 0, 0.0]), 1.0, n_lat=8, n_lon=16)
+    # cloud sampled only on the +z hemisphere surface
+    n = 4000
+    v = rng.normal(size=(n, 3))
+    v /= np.linalg.norm(v, axis=1, keepdims=True)
+    v[:, 2] = np.abs(v[:, 2])
+    pts = jnp.asarray(v.astype(np.float32))
+    dens, colors, trimmed = map_density(mesh, pts, radius=0.25,
+                                        density_threshold_pctile=60.0)
+    d = np.asarray(dens)
+    vz = np.asarray(mesh.vertices)[:, 2]
+    assert d[vz > 0.5].mean() > 5 * max(d[vz < -0.5].mean(), 1.0)
+    assert colors.shape == (mesh.vertices.shape[0], 3)
+    kept = np.asarray(trimmed.triangles)
+    n_kept = (kept[:, 0] >= 0).sum()
+    assert 0 < n_kept < mesh.triangles.shape[0]
+    # kept triangles live on the dense hemisphere
+    tri_z = np.asarray(mesh.vertices)[kept[kept[:, 0] >= 0]][:, :, 2].mean()
+    assert tri_z > 0.2

@@ -58,3 +58,58 @@ def test_cell_cast_matches_grid_cast(rng):
     cnt = np.asarray(res.count)
     assert (cnt[np.isfinite(t)] >= 1).all()
     assert (cnt >= 2).sum() > 20
+
+
+def test_image_cast_matches_brute(rng):
+    """Screen-space tiled pinhole casting vs the brute oracle: exact closest
+    hits and crossing counts (Embree pinhole stand-in, ray_casting.py:262)."""
+    from pyqsm_tpu.ops.raygrid import build_image_grid, image_cast
+    from pyqsm_tpu.ops.raytrace import pinhole_rays
+
+    mesh = merge_meshes([
+        sphere_mesh(jnp.array([0.0, 0, 3.0]), 1.0, n_lat=8, n_lon=16),
+        cylinder_mesh(jnp.array([0.0, 0, 1.0]), jnp.array([0.0, 0, 1]), 0.3, 2.0),
+        cylinder_mesh(jnp.array([3.0, 1, 1.5]), jnp.array([0.3, 0, 0.95]), 0.2, 3.0),
+    ])
+    eye = jnp.array([4.0, -5.0, 4.0])
+    center = jnp.array([0.5, 0.0, 2.0])
+    up = jnp.array([0.0, 0.0, 1.0])
+    W, H, fov = 120, 88, 65.0
+    origins, dirs = pinhole_rays(eye, center, up, fov, W, H)
+    ref = cast_rays(origins, dirs, mesh.vertices, mesh.triangles,
+                    backend="xla")
+    grid = build_image_grid(mesh.vertices, mesh.triangles, eye, center, up,
+                            fov, W, H, tile_px=8)
+    hits = image_cast(grid)
+    t, tr = np.asarray(hits.t), np.asarray(ref.t)
+    np.testing.assert_array_equal(np.isfinite(t), np.isfinite(tr))
+    h = np.isfinite(tr)
+    np.testing.assert_allclose(t[h], tr[h], rtol=1e-4, atol=1e-4)
+    np.testing.assert_array_equal(np.asarray(hits.count), np.asarray(ref.count))
+
+
+def test_image_cast_eye_inside_scene(rng):
+    """Eye between objects: straddling triangles fall back to the residual
+    brute pass and stay exact."""
+    from pyqsm_tpu.ops.raygrid import build_image_grid, image_cast
+    from pyqsm_tpu.ops.raytrace import pinhole_rays
+
+    mesh = merge_meshes([
+        sphere_mesh(jnp.array([0.0, 0, 0.0]), 1.0, n_lat=8, n_lon=16),
+        sphere_mesh(jnp.array([4.0, 0, 0.0]), 1.0, n_lat=8, n_lon=16),
+    ])
+    eye = jnp.array([2.0, 0.0, 0.0])  # between the spheres
+    center = jnp.array([0.0, 0.0, 0.0])
+    up = jnp.array([0.0, 0.0, 1.0])
+    W, H, fov = 64, 64, 80.0
+    origins, dirs = pinhole_rays(eye, center, up, fov, W, H)
+    ref = cast_rays(origins, dirs, mesh.vertices, mesh.triangles,
+                    backend="xla")
+    grid = build_image_grid(mesh.vertices, mesh.triangles, eye, center, up,
+                            fov, W, H, tile_px=8)
+    hits = image_cast(grid)
+    t, tr = np.asarray(hits.t), np.asarray(ref.t)
+    np.testing.assert_array_equal(np.isfinite(t), np.isfinite(tr))
+    h = np.isfinite(tr)
+    np.testing.assert_allclose(t[h], tr[h], rtol=1e-4, atol=1e-4)
+    np.testing.assert_array_equal(np.asarray(hits.count), np.asarray(ref.count))
