@@ -47,6 +47,11 @@ def synthetic_plot(n_total: int, n_trees: int = 8, seed: int = 0) -> np.ndarray:
     return np.concatenate(trees).astype(np.float32)
 
 
+def _progress(msg: str) -> None:
+    import sys as _sys
+    print(f"# {msg}", file=_sys.stderr, flush=True)
+
+
 def main() -> int:
     parser = argparse.ArgumentParser()
     parser.add_argument("--n", type=int, default=10_000_000)
@@ -70,8 +75,12 @@ def main() -> int:
     from pyqsm_tpu.ops.sampling import compact_rows, voxel_downsample
 
     n = args.n
+    _progress(f"generating {n} points")
     pts_np = synthetic_plot(n, args.trees)
+    _progress("uploading to device")
     pts = jnp.asarray(pts_np)
+    pts.block_until_ready()
+    _progress("upload done")
     mask = jnp.ones(n, dtype=bool)
     cfg = Config()
 
@@ -82,19 +91,23 @@ def main() -> int:
         """One full isolate -> per-tree skeletonize+QSM pass (every tree)."""
         timings = {}
         t0 = time.perf_counter()
+        _progress("process_plot start")
         res = process_plot(
             pts, mask, cfg, iso_cfg,
             skeleton_voxel=0.03,
             max_skeleton_points=args.skeleton_points,
             min_tree_points=2000,
         )
+        _progress("process_plot done")
         n_cyl = sum(int(t.cylinders.count()) for t in res.trees)
         timings["total_s"] = time.perf_counter() - t0
         return timings, res, n_cyl
 
     # pass 1: cold process — pays per-kernel executable load (and compiles on
     # a cold cache); pass 2: the steady-state number a resident service sees
+    _progress("cold pass")
     cold, _, _ = run_pipeline()
+    _progress(f"cold done {cold['total_s']:.1f}s; steady pass")
     steady, res, n_cyl_skel = run_pipeline()
 
     lab_np = np.asarray(res.growth.labels)
@@ -115,6 +128,7 @@ def main() -> int:
         "backend": jax.default_backend(),
     }
 
+    _progress("steady done; ref-params isolation")
     # reference-default isolation parameters (tree_isolation.py:67-70,316)
     # alongside the tuned ones — recorded, not part of the headline metric
     if not args.skip_ref_params:
@@ -129,6 +143,38 @@ def main() -> int:
         except Exception as e:  # noqa: BLE001
             detail["ref_params_isolation_error"] = type(e).__name__
 
+    _progress("approx-topk check")
+    # approx-top-k validation ON DEVICE (VERDICT r1 #8): the Laplacian kNN
+    # routes through the TPU hardware approx_max_k, which lowers to EXACT
+    # top-k on CPU — so CI never exercises the approximate path the TPU
+    # actually runs. Recall vs exact at skeleton scale guards against a
+    # silent contraction-quality regression.
+    try:
+        from pyqsm_tpu.ops.neighbors import knn as _knn
+
+        best0 = uniq[np.argmax(counts)]
+        tp_, tm_, _ = compact_rows(pts, jnp.asarray(lab_np == best0))
+        vx = 0.03
+        sp_, sm_, _ = voxel_downsample(tp_, vx, tm_)
+        while int(jnp.sum(sm_)) > args.skeleton_points and vx < 0.5:
+            vx *= 1.6
+            sp_, sm_, _ = voxel_downsample(tp_, vx, tm_)
+        sp_, sm_, _ = compact_rows(sp_, sm_)
+        _, ia = _knn(sp_, sp_, 21, query_mask=sm_, point_mask=sm_, approx=True)
+        _, ie = _knn(sp_, sp_, 21, query_mask=sm_, point_mask=sm_, approx=False)
+        live_rows = np.asarray(sm_)
+        a = np.asarray(ia)[live_rows]
+        e = np.asarray(ie)[live_rows]
+        recall = np.mean([
+            len(np.intersect1d(a[i][a[i] >= 0], e[i][e[i] >= 0]))
+            / max((e[i] >= 0).sum(), 1)
+            for i in range(0, len(a), max(len(a) // 2048, 1))
+        ])
+        detail["approx_topk_recall"] = round(float(recall), 4)
+    except Exception as e:  # noqa: BLE001
+        detail["approx_topk_error"] = type(e).__name__
+
+    _progress("sphere QSM")
     # sphere-following QSM on the largest tree (the reference's other QSM
     # route, qsm_generation.py:182-316)
     try:
@@ -156,6 +202,7 @@ def main() -> int:
     except Exception as e:  # noqa: BLE001
         detail["sphere_qsm_error"] = type(e).__name__
 
+    _progress("raycast secondary")
     # secondary headline: ray throughput against a device-reconstructed
     # canopy mesh (>=100k triangles — the north-star raycast workload)
     try:

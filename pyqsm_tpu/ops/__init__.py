@@ -15,6 +15,10 @@ arrays:
 - ``features``   — covariance eigenfeatures + kNN smoothing (replaces jakteristics)
 - ``geometry``   — percentile crops, rotations, grids, hulls (math_utils parity)
 - ``color``      — RGB/HSV segmentation math (viz/color.py parity)
+- ``raytrace``   — brute Möller–Trumbore oracle + ray generators
+- ``grid3d``     — uniform-grid DDA acceleration for arbitrary ray bundles
+- ``raygrid``    — cell-aligned sun + screen-space pinhole casting
+- ``voxelmesh``  — device surface reconstruction (density + marching tets)
 """
 
 from pyqsm_tpu.ops import neighbors, sampling, outliers, normals  # noqa: F401

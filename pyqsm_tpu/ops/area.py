@@ -106,7 +106,15 @@ def convex_hull_area_2d(points: Array, mask: Array) -> Array:
 @jax.jit
 def width_p95(points: Array, mask: Array) -> Array:
     """95th percentile of pairwise xy distances — the reference's
-    width-at-height statistic (``canopy_metrics.py:296-311``)."""
+    width-at-height statistic (``canopy_metrics.py:296-311``).
+
+    CAP: materialises [N, N] via triu_indices — callers subsample the
+    height slice to ≤ 8192 rows first (``models/canopy.py:86-105`` does);
+    larger inputs raise at trace time."""
+    if points.shape[0] > 8192:
+        raise ValueError(
+            f"width_p95 materialises [N,N]; N={points.shape[0]} exceeds the "
+            "8192 cap — subsample the slice first (see models/canopy.py)")
     xy = jnp.where(mask[:, None], points[:, :2], jnp.nan)
     d = jnp.linalg.norm(xy[:, None, :] - xy[None, :, :], axis=-1)
     n = points.shape[0]

@@ -236,11 +236,22 @@ def kmeans(
     return centers, labels
 
 
+_PAIRWISE_CAP = 8192  # hard cap: these kernels materialise [N, N]
+
+
 @jax.jit
 def silhouette_score(points: Array, labels: Array, mask: Array) -> Array:
     """Mean silhouette coefficient (full pairwise — intended for the small
-    clusters the reference sweeps, ``fit.py:183-202``)."""
+    clusters the reference sweeps, ``fit.py:183-202``).
+
+    CAP: materialises an [N, N] distance matrix + one-hot — callers must
+    subsample to ≤ ``_PAIRWISE_CAP`` rows first (``models/qsm.py`` and
+    ``models/canopy.py`` already do); larger inputs raise at trace time."""
     n = points.shape[0]
+    if n > _PAIRWISE_CAP:
+        raise ValueError(
+            f"silhouette_score materialises [N,N]; N={n} exceeds the "
+            f"{_PAIRWISE_CAP} cap — subsample first (see models/qsm.py)")
     pts = jnp.where(mask[:, None], points, jnp.inf)
     live = mask & (labels >= 0)
     diff = pts[:, None, :] - pts[None, :, :]
