@@ -141,5 +141,56 @@ def canopy_metrics_main(argv: list[str] | None = None) -> int:
     return 0
 
 
+def raycast_main(argv: list[str] | None = None) -> int:
+    """Reconstruct a canopy surface from the cloud (device marching-tets)
+    and measure sun/camera exposure against it — the reference's
+    ray-casting study (``viz/ray_casting.py`` + ``data/notes/methods.md``)
+    as one command."""
+    parser = argparse.ArgumentParser(
+        "pyqsm-raycast", description="Canopy surface reconstruction + exposure")
+    _common(parser)
+    parser.add_argument("--mesh-voxel", type=float, default=0.15,
+                        help="reconstruction voxel (m)")
+    parser.add_argument("--elevations", type=float, nargs="+",
+                        default=[30.0, 60.0, 90.0])
+    parser.add_argument("--azimuth", type=float, default=180.0)
+    parser.add_argument("--rays-per-cell", type=int, default=4)
+    args = parser.parse_args(argv)
+
+    import jax.numpy as jnp
+
+    from pyqsm_tpu.io.artifacts import save_metrics
+    from pyqsm_tpu.models.raycast import cast_scene, sun_exposure
+    from pyqsm_tpu.ops.voxelmesh import poisson_like_mesh
+
+    data, pts, mask = _load(args.input, args.voxel)
+    t0 = time.perf_counter()
+    mesh = poisson_like_mesh(pts, mask, voxel=args.mesh_voxel)
+    n_tri = mesh.n_triangles()
+    cam = cast_scene(mesh)
+    sweep = {}
+    for el in args.elevations:
+        r = sun_exposure(mesh, args.azimuth, el)
+        sweep[str(el)] = {
+            "surface_area_3d": r.surface_area_3d,
+            "surface_area_2d": r.surface_area_2d,
+            "hit_fraction": r.hit_fraction,
+        }
+    dt = time.perf_counter() - t0
+    out = Path(args.output_dir) / (Path(args.input).stem + "_exposure.json")
+    save_metrics(out, {
+        "n_triangles": int(n_tri),
+        "camera": {
+            "surface_area_3d": cam.surface_area_3d,
+            "surface_area_2d": cam.surface_area_2d,
+            "hit_fraction": cam.hit_fraction,
+        },
+        "sun_sweep": sweep,
+    })
+    print(f"mesh {n_tri} tris; camera SA3d {cam.surface_area_3d:.2f} m2; "
+          f"{len(sweep)} sun angles, {dt:.1f}s -> {out}")
+    return 0
+
+
 if __name__ == "__main__":
     sys.exit(tree_isolation_main())

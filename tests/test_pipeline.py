@@ -121,3 +121,20 @@ def test_rotating_compare_gif(tmp_path, rng):
     p = rotating_compare_gif(tmp_path / "cmp.gif", a, b, steps=4,
                              on_frames=2, off_frames=2)
     assert p.exists() and p.stat().st_size > 1000
+
+
+def test_cli_raycast(tmp_path, rng, capsys):
+    from pyqsm_tpu.pipeline.cli import raycast_main
+
+    # canopy blob: enough points for a closed reconstruction
+    pts = rng.normal([0, 0, 5.0], [0.8, 0.8, 0.5], (4000, 3)).astype(np.float32)
+    f = tmp_path / "canopy1.pcd"
+    write_pcd(f, pts)
+    rc = raycast_main([str(f), "-o", str(tmp_path), "--mesh-voxel", "0.2",
+                       "--elevations", "90"])
+    assert rc == 0
+    import json
+    m = json.loads((tmp_path / "canopy1_exposure.json").read_text())
+    assert m["n_triangles"] > 100
+    assert m["sun_sweep"]["90.0"]["surface_area_2d"] > 0.5
+    assert m["camera"]["hit_fraction"] > 0.01
