@@ -9,6 +9,7 @@ across a pod slice."""
 from __future__ import annotations
 
 import jax
+import numpy as np
 
 from jax import shard_map
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
@@ -42,3 +43,153 @@ def sharded_cast_rays(
     o = jax.device_put(origins, NamedSharding(mesh, P(axis)))
     d = jax.device_put(dirs, NamedSharding(mesh, P(axis)))
     return jax.jit(fn)(o, d, vertices, triangles)
+
+
+def sharded_grid_cast(
+    mesh: Mesh,
+    grid,
+    origins: Array,
+    dirs: Array,
+    axis: str = "points",
+    ray_tile: int = 4096,
+    count_all: bool = False,
+) -> Hits:
+    """Accelerated (uniform-grid DDA) casting with the ray axis sharded over
+    ``axis`` and the grid replicated — the multi-chip path of
+    ``ops.grid3d.grid_cast``. Per-device work is an independent traversal;
+    no collectives. Ray count must divide the axis size."""
+    from pyqsm_tpu.ops.grid3d import _grid_cast3d
+
+    max_steps = grid.nx + grid.ny + grid.nz + 4
+    residual = grid.residual if grid.n_residual > 0 else grid.residual[:0]
+
+    def local(o, d, table, packed, res, skip):
+        return _grid_cast3d(
+            o, d, grid.lo, grid.cell, grid.nx, grid.ny, grid.nz,
+            table, packed, res, skip,
+            ray_tile=ray_tile, max_steps=max_steps, count_all=count_all,
+        )
+
+    fn = shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P(axis), P(axis), P(), P(), P(), P()),
+        out_specs=Hits(t=P(axis), tri=P(axis), uv=P(axis), count=P(axis)),
+        check_vma=False,
+    )
+    o = jax.device_put(origins, NamedSharding(mesh, P(axis)))
+    d = jax.device_put(dirs, NamedSharding(mesh, P(axis)))
+    return jax.jit(fn)(o, d, grid.tri_of_slot, grid.packed, residual,
+                       grid.skip)
+
+
+def sharded_cell_cast(
+    mesh: Mesh,
+    grid,
+    direction,
+    rays_per_cell_side: int = 4,
+    cell_tile: int = 256,
+    back_dist: float = 1e3,
+    axis: str = "points",
+):
+    """Cell-aligned parallel-bundle casting with the CELL axis sharded over
+    ``axis`` — the multi-chip sun/rain flux path of
+    ``ops.raygrid.cell_cast_parallel``. Each device owns a contiguous strip
+    of grid cells (triangle table sharded with them; triangle data
+    replicated); the per-cell ray blocks never cross devices."""
+    import jax.numpy as jnp
+
+    from pyqsm_tpu.ops.raygrid import CellCastResult, _cell_cast
+
+    ncells = grid.nx * grid.ny
+    n_dev = int(np.prod(mesh.devices.shape)) if hasattr(mesh, "devices") \
+        else mesh.size
+    # pad the cell axis so it shards evenly
+    per = -(-ncells // (n_dev * cell_tile)) * cell_tile
+    pad = per * n_dev - ncells
+    table = jnp.pad(grid.tri_of_slot, ((0, pad), (0, 0)), constant_values=-1)
+    cell_ids = jnp.arange(ncells + pad, dtype=jnp.int32)
+
+    def local(tab, cids):
+        t, tri, cnt = _cell_cast_rows(
+            jnp.asarray(direction, jnp.float32), grid.u, grid.v,
+            grid.origin_uv, grid.cell, grid.nx, grid.ny,
+            tab, cids, grid.v0, grid.e1, grid.e2, grid.valid,
+            rays_per_cell_side, cell_tile, back_dist,
+        )
+        return t, tri, cnt
+
+    fn = shard_map(
+        local, mesh=mesh,
+        in_specs=(P(axis), P(axis)),
+        out_specs=(P(axis), P(axis), P(axis)),
+        check_vma=False,
+    )
+    tbl = jax.device_put(table, NamedSharding(mesh, P(axis)))
+    cid = jax.device_put(cell_ids, NamedSharding(mesh, P(axis)))
+    t, tri, cnt = jax.jit(fn)(tbl, cid)
+    ray_area = (grid.cell / rays_per_cell_side) ** 2
+    return CellCastResult(t=t[:ncells], tri=tri[:ncells],
+                          count=cnt[:ncells], ray_area=ray_area)
+
+
+def _cell_cast_rows(direction, u, v, origin_uv, cell, nx, ny,
+                    table, cell_ids, v0, e1, e2, valid,
+                    rpc_side, cell_tile, back_dist):
+    """Cell-aligned cast over an explicit (local) table strip + cell-id
+    vector — the shard-local body of ``sharded_cell_cast`` (mirrors
+    ``ops.raygrid._cell_cast`` with the rows passed in)."""
+    import jax.numpy as jnp
+
+    ncells_local = table.shape[0]
+    rpc = rpc_side * rpc_side
+    d = direction / jnp.maximum(jnp.linalg.norm(direction), 1e-12)
+    su = (jnp.arange(rpc_side) + 0.5) / rpc_side * cell
+    gu, gv = jnp.meshgrid(su, su, indexing="xy")
+    sub = jnp.stack([gu.ravel(), gv.ravel()], 1)
+    nt = -(-ncells_local // cell_tile)
+
+    def tile(ti):
+        sl = lambda a: jax.lax.dynamic_slice_in_dim(a, ti * cell_tile,
+                                                    cell_tile)
+        cids = sl(cell_ids)
+        cx = (cids // ny).astype(jnp.float32)
+        cy = (cids % ny).astype(jnp.float32)
+        slots = sl(table)
+        tid = jnp.maximum(slots, 0)
+        ok_tri = (slots >= 0) & valid[tid]
+        tv0 = v0[tid]
+        te1 = e1[tid]
+        te2 = e2[tid]
+        uu = origin_uv[0] + cx[:, None] * cell + sub[None, :, 0]
+        vv = origin_uv[1] + cy[:, None] * cell + sub[None, :, 1]
+        o = (uu[..., None] * u[None, None, :] + vv[..., None] * v[None, None, :]
+             - back_dist * d[None, None, :])
+        pvec = jnp.cross(d[None, None, :], te2)[:, None, :, :]
+        det = jnp.sum(te1[:, None, :, :] * pvec, -1)
+        inv = jnp.where(jnp.abs(det) > 1e-9, 1.0 / det, 0.0)
+        tvec = o[:, :, None, :] - tv0[:, None, :, :]
+        uu_ = jnp.sum(tvec * pvec, -1) * inv
+        qvec = jnp.cross(tvec, te1[:, None, :, :])
+        vv_ = jnp.sum(d[None, None, None, :] * qvec, -1) * inv
+        tt = jnp.sum(te2[:, None, :, :] * qvec, -1) * inv
+        hit = ((jnp.abs(det) > 1e-9) & (uu_ >= -1e-9) & (vv_ >= -1e-9)
+               & (uu_ + vv_ <= 1 + 1e-9) & (tt > 1e-6) & ok_tri[:, None, :])
+        tt = jnp.where(hit, tt, jnp.inf)
+        cnt = jnp.sum(hit, -1).astype(jnp.int32)
+        j = jnp.argmin(tt, -1)
+        tmin = jnp.min(tt, -1)
+        tri_best = jnp.where(
+            jnp.isfinite(tmin),
+            jnp.take_along_axis(
+                jnp.broadcast_to(slots[:, None, :],
+                                 (cell_tile, rpc, slots.shape[1])),
+                j[..., None], 2)[..., 0],
+            -1)
+        return tmin, tri_best, cnt
+
+    t_, tri_, cnt_ = jax.lax.map(tile, jnp.arange(nt))
+    pad_cells = nt * cell_tile
+    return (t_.reshape(pad_cells, rpc)[:ncells_local],
+            tri_.reshape(pad_cells, rpc)[:ncells_local],
+            cnt_.reshape(pad_cells, rpc)[:ncells_local])

@@ -139,3 +139,62 @@ def test_sharded_cg_matches_dense_solve_directed_weights(rng):
     put = lambda a: jax.device_put(jnp.asarray(a), NamedSharding(mesh, P("points")))
     x = jax.jit(fn)(put(idx), put(w), put(deg), put(wl), put(wh), put(b))
     np.testing.assert_allclose(np.asarray(x), x_ref, rtol=2e-2, atol=2e-3)
+
+
+def test_sharded_grid_cast_matches_single(rng):
+    """Accelerated DDA casting sharded over the ray axis equals the
+    single-device grid_cast (grid replicated, no collectives)."""
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import Mesh
+
+    from pyqsm_tpu.ops.grid3d import build_grid3d, grid_cast
+    from pyqsm_tpu.ops.mesh import merge_meshes, sphere_mesh, cylinder_mesh
+    from pyqsm_tpu.ops.raytrace import pinhole_rays
+    from pyqsm_tpu.parallel.raycast import sharded_grid_cast
+
+    mesh3d = merge_meshes([
+        sphere_mesh(jnp.array([0.0, 0, 3.0]), 1.0, n_lat=8, n_lon=16),
+        cylinder_mesh(jnp.array([0.0, 0, 1.0]), jnp.array([0.0, 0, 1]), 0.3, 2.0),
+    ])
+    grid = build_grid3d(mesh3d.vertices, mesh3d.triangles)
+    center = jnp.mean(mesh3d.vertices, axis=0)
+    origins, dirs = pinhole_rays(center + jnp.array([0.0, 0, 8.0]), center,
+                                 jnp.array([0.0, 1, 0.0]), 70.0, 64, 64)
+    ref = grid_cast(grid, origins, dirs, ray_tile=512, count_all=True)
+    devs = np.asarray(jax.devices()[:8]).reshape(8)
+    m = Mesh(devs, ("points",))
+    got = sharded_grid_cast(m, grid, origins, dirs, ray_tile=512,
+                            count_all=True)
+    np.testing.assert_allclose(np.asarray(got.t), np.asarray(ref.t),
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_array_equal(np.asarray(got.count), np.asarray(ref.count))
+
+
+def test_sharded_cell_cast_matches_single(rng):
+    """Sun-bundle cell casting sharded over the cell axis equals the
+    single-device cell_cast_parallel."""
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import Mesh
+
+    from pyqsm_tpu.ops.mesh import merge_meshes, sphere_mesh, cylinder_mesh
+    from pyqsm_tpu.ops.raygrid import build_ray_grid, cell_cast_parallel
+    from pyqsm_tpu.parallel.raycast import sharded_cell_cast
+
+    mesh3d = merge_meshes([
+        sphere_mesh(jnp.array([0.0, 0, 3.0]), 1.0, n_lat=8, n_lon=16),
+        cylinder_mesh(jnp.array([0.0, 0, 1.0]), jnp.array([0.0, 0, 1]), 0.3, 2.0),
+    ])
+    d = np.array([0.2, 0.1, -0.97], np.float32)
+    d /= np.linalg.norm(d)
+    grid = build_ray_grid(mesh3d.vertices, mesh3d.triangles, d, cell_cap=128)
+    ref = cell_cast_parallel(grid, d, rays_per_cell_side=2, cell_tile=64,
+                             back_dist=50.0)
+    devs = np.asarray(jax.devices()[:8]).reshape(8)
+    m = Mesh(devs, ("points",))
+    got = sharded_cell_cast(m, grid, d, rays_per_cell_side=2, cell_tile=64,
+                            back_dist=50.0)
+    np.testing.assert_allclose(np.asarray(got.t), np.asarray(ref.t),
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_array_equal(np.asarray(got.count), np.asarray(ref.count))
