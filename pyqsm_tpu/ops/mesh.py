@@ -234,6 +234,62 @@ def surface_clusters(mesh: TriMesh, min_triangles: int = 1) -> tuple[np.ndarray,
     return out, filtered
 
 
+def fill_holes(mesh: TriMesh, max_loop: int = 256) -> TriMesh:
+    """Close boundary loops by centroid fans — the hole-filling half of the
+    reference's pymeshfix repair (``surf_recon.meshfix``, ``surf_recon.py:
+    38-85``). Host-side: boundary edges (edge count == 1) are chained into
+    loops; each loop up to ``max_loop`` edges is triangulated with a fan
+    from its centroid. Degenerate/unchainable boundaries are left open."""
+    v = np.asarray(mesh.vertices)
+    t = np.asarray(mesh.triangles)
+    t = t[t[:, 0] >= 0]
+    edges = np.concatenate([t[:, [0, 1]], t[:, [1, 2]], t[:, [2, 0]]])
+    key = np.sort(edges, axis=1)
+    uniq, inv, counts = np.unique(key, axis=0, return_inverse=True,
+                                  return_counts=True)
+    boundary = uniq[counts == 1]
+    if len(boundary) == 0:
+        return mesh
+    # chain boundary edges into loops
+    nxt: dict[int, list[int]] = {}
+    for a, b in boundary:
+        nxt.setdefault(int(a), []).append(int(b))
+        nxt.setdefault(int(b), []).append(int(a))
+    unused = {tuple(e) for e in boundary}
+    new_verts: list[np.ndarray] = []
+    new_tris: list[list[int]] = []
+    nv = len(v)
+    while unused:
+        a0, b0 = next(iter(unused))
+        loop = [a0, b0]
+        unused.discard((a0, b0))
+        ok = True
+        while loop[-1] != loop[0]:
+            cur, prev = loop[-1], loop[-2]
+            cands = [c for c in nxt.get(cur, [])
+                     if c != prev and (tuple(sorted((cur, c))) in unused
+                                       or c == loop[0])]
+            if not cands or len(loop) > max_loop:
+                ok = False
+                break
+            c = cands[0]
+            unused.discard(tuple(sorted((cur, c))))
+            loop.append(c)
+        if not ok or len(loop) < 4:  # closed loop repeats the head
+            continue
+        ring = loop[:-1]
+        centroid = v[ring].mean(0)
+        ci = nv + len(new_verts)
+        new_verts.append(centroid.astype(np.float32))
+        for i in range(len(ring)):
+            new_tris.append([ring[i], ring[(i + 1) % len(ring)], ci])
+    if not new_tris:
+        return mesh
+    verts_out = np.concatenate([v, np.stack(new_verts)]).astype(np.float32)
+    tris_out = np.concatenate([t, np.asarray(new_tris, np.int32)])
+    return TriMesh(jnp.asarray(verts_out), jnp.asarray(tris_out.astype(np.int32)))
+
+
 def map_density(
     mesh: TriMesh,
     points: Array,

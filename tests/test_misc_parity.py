@@ -78,3 +78,25 @@ def test_map_density(rng):
     # kept triangles live on the dense hemisphere
     tri_z = np.asarray(mesh.vertices)[kept[kept[:, 0] >= 0]][:, :, 2].mean()
     assert tri_z > 0.2
+
+
+def test_fill_holes_closes_sphere_cap():
+    """pymeshfix analog (ref surf_recon.py:38-85): cut a cap out of a
+    sphere, fill_holes closes the boundary loop and restores watertightness."""
+    import jax.numpy as jnp
+    import numpy as np
+    from pyqsm_tpu.ops.mesh import fill_holes, mesh_properties, sphere_mesh
+
+    mesh = sphere_mesh(jnp.array([0.0, 0, 0.0]), 1.0, n_lat=10, n_lon=16)
+    v = np.asarray(mesh.vertices)
+    t = np.asarray(mesh.triangles)
+    # remove all triangles whose centroid is in the top cap
+    keep = v[t].mean(1)[:, 2] < 0.8
+    holed = mesh._replace(triangles=jnp.asarray(t[keep]))
+    assert not mesh_properties(holed)["watertight"]
+    fixed = fill_holes(holed)
+    props = mesh_properties(fixed)
+    assert props["watertight"], props
+    # area close to the original sphere mesh's
+    full = mesh_properties(mesh)["surface_area"]
+    assert abs(props["surface_area"] - full) / full < 0.1
