@@ -101,6 +101,7 @@ def main() -> int:
         _progress("process_plot done")
         n_cyl = sum(int(t.cylinders.count()) for t in res.trees)
         timings["total_s"] = time.perf_counter() - t0
+        timings.update(res.timings or {})
         return timings, res, n_cyl
 
     # pass 1: cold process — pays per-kernel executable load (and compiles on
@@ -121,6 +122,7 @@ def main() -> int:
         "n_points": n,
         "total_s": round(total, 2),
         "cold_total_s": round(cold["total_s"], 2),
+        "stages": {k: v for k, v in steady.items() if k != "total_s"},
         "trees_found": int(n_trees_found),
         "trees_skeletonized": len(res.trees),
         "skeleton_cylinders": int(n_cyl_skel),

@@ -36,6 +36,7 @@ class TreeResult(NamedTuple):
 class PlotResult(NamedTuple):
     growth: GrowthResult
     trees: list[TreeResult]
+    timings: dict | None = None  # per-stage wall seconds (forced syncs)
 
 
 def process_plot(
@@ -56,10 +57,16 @@ def process_plot(
     over the point axis (ICI label exchange) and the batched contraction
     runs data-parallel over the trees axis; semantics identical to the
     single-device path (tested for equality)."""
+    import time
+
     if cfg is None:
         cfg = Config()
+    timings: dict = {}
+    t0 = time.perf_counter()
     growth = build_trees(points, mask, iso_cfg, mesh=mesh)
-    lab = np.asarray(growth.labels)
+    lab = np.asarray(growth.labels)  # forced transfer = honest stage timing
+    timings["isolation_s"] = round(time.perf_counter() - t0, 2)
+    t0 = time.perf_counter()
     uniq, counts = np.unique(lab[lab >= 0], return_counts=True)
     order = np.argsort(-counts)
     uniq, counts = uniq[order], counts[order]
@@ -86,7 +93,7 @@ def process_plot(
         kept_ids.append(int(tree_id))
         tree_arrays.append((p2, m2, int(n_tree)))
     if not tree_arrays:
-        return PlotResult(growth, [])
+        return PlotResult(growth, [], timings)
 
     cap = max(p.shape[0] for p, _, _ in tree_arrays)
     batch_p = jnp.stack([
@@ -100,7 +107,13 @@ def process_plot(
         extract_skeleton_batch, extract_topology, skeleton_to_qsm,
     )
 
+    timings["ladder_s"] = round(time.perf_counter() - t0, 2)
+    t0 = time.perf_counter()
     skels = extract_skeleton_batch(batch_p, batch_m, cfg.skeletonize, mesh=mesh)
+    jax.block_until_ready(skels.contracted)
+    _ = float(jnp.sum(skels.total_shift))  # axon: block returns early
+    timings["contraction_s"] = round(time.perf_counter() - t0, 2)
+    t0 = time.perf_counter()
 
     trees: list[TreeResult] = []
     for i, (tree_id, (p2, m2, n_tree)) in enumerate(zip(kept_ids, tree_arrays)):
@@ -114,4 +127,5 @@ def process_plot(
             metrics = canopy_metrics(
                 p2, m2, shift=skels.first_shift[i][: p2.shape[0]])
         trees.append(TreeResult(tree_id, n_tree, cyls, metrics))
-    return PlotResult(growth, trees)
+    timings["topology_s"] = round(time.perf_counter() - t0, 2)
+    return PlotResult(growth, trees, timings)

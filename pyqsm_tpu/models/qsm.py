@@ -460,6 +460,30 @@ def sphere_following_qsm(
     p = block_size
     key = jax.random.PRNGKey(seed)
 
+    # resolution-aware split scale: the config eps (ref pyqsm_config.toml
+    # [dbscan] epsilon=0.1) assumes full-resolution trunks; on the voxel
+    # ladder's coarsened clouds the point spacing can exceed it, marking
+    # every new shell noise and killing the walk after one step (observed
+    # at 10M-pt plots where the ladder lands at ~0.2 m voxels). Floor eps
+    # at 2.5x the measured mean nearest-neighbor spacing.
+    from pyqsm_tpu.ops.neighbors import knn as _knn
+
+    n_live = int(jnp.sum(mask))
+    stride = max(n_live // 2048, 1)
+    sample_rows = np.flatnonzero(np.asarray(mask))[::stride][:2048]
+    if len(sample_rows):
+        sq = points[jnp.asarray(sample_rows)]
+        d2, _ = _knn(sq, points, 2, point_mask=mask)
+        nn_d = float(jnp.nanmean(jnp.where(jnp.isfinite(d2[:, 1]),
+                                           d2[:, 1], jnp.nan)))
+    else:
+        nn_d = 0.0
+    eps_eff = max(dbscan_cfg.epsilon, 2.5 * nn_d)
+    if eps_eff > dbscan_cfg.epsilon:
+        import dataclasses
+
+        dbscan_cfg = dataclasses.replace(dbscan_cfg, epsilon=eps_eff)
+
     def pad_front(idx_arr: np.ndarray) -> tuple[Array, Array]:
         k = min(len(idx_arr), p)
         out = np.full(p, -1, np.int32)

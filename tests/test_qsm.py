@@ -167,3 +167,36 @@ def test_chain_walk_climbs_sparse_trunk():
     assert int(qsm.cylinders.count()) >= 4
     claimed_z = trunk[np.asarray(qsm.found), 2]
     assert claimed_z.max() > 1.0  # climbed past the seed slice
+
+
+def test_walk_survives_coarse_resolution(rng):
+    """The voxel ladder can land at spacings beyond the config DBSCAN eps
+    (10M-pt plots -> ~0.2 m voxels); the walk must scale its split eps to
+    the measured point spacing instead of marking every shell noise
+    (regression: 10M bench produced 1 cylinder)."""
+    import numpy as np
+    from pyqsm_tpu.config import Config
+    from pyqsm_tpu.models.qsm import sphere_following_qsm
+    from pyqsm_tpu.ops.sampling import compact_rows, voxel_downsample
+
+    n = 60_000
+    th = rng.uniform(0, 2 * np.pi, n)
+    z = rng.uniform(0, 6.0, n)
+    r = 0.3 + rng.normal(0, 0.01, n)
+    trunk = np.stack([r * np.cos(th), r * np.sin(th), z], 1)
+    canopy = rng.normal([0, 0, 7.5], [1.6, 1.6, 1.0], (n // 2, 3))
+    pts = jnp.asarray(np.concatenate([trunk, canopy]).astype(np.float32))
+    mask = jnp.ones(pts.shape[0], bool)
+    p2, m2, _ = voxel_downsample(pts, 0.2, mask)  # coarse: spacing > eps
+    p2, m2, _ = compact_rows(p2, m2)
+    z2 = np.asarray(p2[:, 2])
+    m2_np = np.asarray(m2)
+    zmin = float(np.min(np.where(m2_np, z2, np.inf)))
+    rows = np.flatnonzero(m2_np & (z2 < zmin + 0.5))
+    seed = np.full(1024, -1, np.int32)
+    seed[: min(len(rows), 1024)] = rows[:1024]
+    cfg = Config()
+    q = sphere_following_qsm(p2, m2, jnp.asarray(seed), jnp.asarray(seed >= 0),
+                             0.3, sphere=cfg.sphere, dbscan_cfg=cfg.dbscan,
+                             max_steps=32)
+    assert int(q.cylinders.count()) >= 8
