@@ -57,6 +57,10 @@ def main() -> int:
     parser.add_argument("--n", type=int, default=10_000_000)
     parser.add_argument("--trees", type=int, default=8)
     parser.add_argument("--skeleton-points", type=int, default=40_000)
+    parser.add_argument("--walk-points", type=int, default=300_000,
+                        help="resolution cap for the sphere walk (the walk "
+                        "needs trunk SURFACE density; the contraction cap "
+                        "would dissolve the trunk at 10M-pt plots)")
     parser.add_argument("--skip-ref-params", action="store_true")
     args = parser.parse_args()
 
@@ -159,7 +163,7 @@ def main() -> int:
         vx = 0.03
         sp_, sm_, _ = voxel_downsample(tp_, vx, tm_)
         while int(jnp.sum(sm_)) > args.skeleton_points and vx < 0.5:
-            vx *= 1.6
+            vx *= 1.3
             sp_, sm_, _ = voxel_downsample(tp_, vx, tm_)
         sp_, sm_, _ = compact_rows(sp_, sm_)
         _, ia = _knn(sp_, sp_, 21, query_mask=sm_, point_mask=sm_, approx=True)
@@ -184,8 +188,8 @@ def main() -> int:
         tree_pts, tree_mask_c, _ = compact_rows(pts, jnp.asarray(lab_np == best))
         voxel = 0.03
         p2, m2, _ = voxel_downsample(tree_pts, voxel, tree_mask_c)
-        while int(jnp.sum(m2)) > args.skeleton_points and voxel < 0.5:
-            voxel *= 1.6
+        while int(jnp.sum(m2)) > args.walk_points and voxel < 0.5:
+            voxel *= 1.3
             p2, m2, _ = voxel_downsample(tree_pts, voxel, tree_mask_c)
         p2, m2, _ = compact_rows(p2, m2)
         z = np.asarray(p2[:, 2])

@@ -87,7 +87,7 @@ def process_plot(
         voxel = skeleton_voxel
         p2, m2, _ = voxel_downsample(tpts, voxel, tmask_c)
         while int(jnp.sum(m2)) > max_skeleton_points and voxel < 0.5:
-            voxel *= 1.6
+            voxel *= 1.3  # gentle rungs land near the cap instead of overshooting 2x
             p2, m2, _ = voxel_downsample(tpts, voxel, tmask_c)
         p2, m2, _ = compact_rows(p2, m2)
         kept_ids.append(int(tree_id))
