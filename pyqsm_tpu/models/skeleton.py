@@ -172,6 +172,22 @@ def extract_skeleton(
     )
 
 
+@partial(jax.jit, static_argnames=("n_neighbors",))
+def _contract_init_batch(pts, msk, n_neighbors, moll, c_factor, a_factor):
+    """One dispatch: per-tree OBB frames, initial Laplacians, weights."""
+
+    def one(p, m):
+        center, axes_, half = obb_axes(p, m)
+        L0 = point_cloud_laplacian(p, m, n_neighbors, moll)
+        m0 = L0.mass
+        m0_mean = jnp.sum(jnp.where(m, m0, 0.0)) / jnp.maximum(jnp.sum(m), 1)
+        wl0 = jnp.full(p.shape[0], c_factor * 1e3 * jnp.sqrt(m0_mean))
+        wh0 = jnp.full(p.shape[0], a_factor)
+        return center, axes_, half, L0, m0, m0_mean, wl0, wh0
+
+    return jax.vmap(one)(pts, msk)
+
+
 @partial(jax.jit, static_argnames=("n_neighbors", "cg_iters"))
 def _contract_step_batch(
     pts: Array,  # [T, P, 3]
@@ -273,22 +289,7 @@ def extract_skeleton_batch(
             points, NamedSharding(mesh, P(axes_names, None, None)))
         masks = jax.device_put(masks, NamedSharding(mesh, P(axes_names, None)))
 
-    # init (one dispatch): OBB frames, initial Laplacians, weights
-    @partial(jax.jit, static_argnames=("n_neighbors",))
-    def init(pts, msk, n_neighbors, moll, c_factor, a_factor):
-        def one(p, m):
-            center, axes_, half = obb_axes(p, m)
-            L0 = point_cloud_laplacian(p, m, n_neighbors, moll)
-            m0 = L0.mass
-            m0_mean = jnp.sum(jnp.where(m, m0, 0.0)) / jnp.maximum(
-                jnp.sum(m), 1)
-            wl0 = jnp.full(p.shape[0], c_factor * 1e3 * jnp.sqrt(m0_mean))
-            wh0 = jnp.full(p.shape[0], a_factor)
-            return center, axes_, half, L0, m0, m0_mean, wl0, wh0
-
-        return jax.vmap(one)(pts, msk)
-
-    center, obb_ax, half, L, m0, m0_mean, wl, wh = init(
+    center, obb_ax, half, L, m0, m0_mean, wl, wh = _contract_init_batch(
         points, masks, cfg.n_neighbors, cfg.moll, contraction,
         cfg.init_attraction)
     tb = points.shape[0]
