@@ -77,6 +77,7 @@ def process_plot(
     # batched contraction compiles once and vmaps over the trees axis
     kept_ids: list[int] = []
     tree_arrays: list[tuple] = []
+    warm_rung = 0  # similar-density trees start near the answer
     for tree_id, n_tree in zip(uniq, counts):
         if n_tree < min_tree_points:
             continue
@@ -84,11 +85,27 @@ def process_plot(
         # buffer instead of the full plot capacity (at 10M-pt plots every
         # ladder rung would otherwise be a full-capacity dispatch per tree)
         tpts, tmask_c, _ = compact_rows(points, jnp.asarray(lab == tree_id))
-        voxel = skeleton_voxel
+        # warm-started ladder: step DOWN while comfortably under the cap,
+        # step UP while over — trees in a plot share density, so after the
+        # first tree this is ~1 rung instead of ~9 (each rung is a synced
+        # full-tree dispatch; the cold ladder was 30% of pipeline time).
+        # Rungs live on the fixed geometric grid skeleton_voxel·1.3^k so
+        # the static voxel values (jit keys) stay identical across trees.
+        rung = warm_rung
+        voxel = skeleton_voxel * 1.3 ** rung
         p2, m2, _ = voxel_downsample(tpts, voxel, tmask_c)
-        while int(jnp.sum(m2)) > max_skeleton_points and voxel < 0.5:
-            voxel *= 1.3  # gentle rungs land near the cap instead of overshooting 2x
+        n2 = int(jnp.sum(m2))
+        while n2 < 0.6 * max_skeleton_points and rung > 0:
+            rung -= 1
+            voxel = skeleton_voxel * 1.3 ** rung
             p2, m2, _ = voxel_downsample(tpts, voxel, tmask_c)
+            n2 = int(jnp.sum(m2))
+        while n2 > max_skeleton_points and voxel < 0.5:
+            rung += 1
+            voxel = skeleton_voxel * 1.3 ** rung
+            p2, m2, _ = voxel_downsample(tpts, voxel, tmask_c)
+            n2 = int(jnp.sum(m2))
+        warm_rung = rung
         p2, m2, _ = compact_rows(p2, m2)
         kept_ids.append(int(tree_id))
         tree_arrays.append((p2, m2, int(n_tree)))
