@@ -112,7 +112,11 @@ def process_plot(
     if not tree_arrays:
         return PlotResult(growth, [], timings)
 
+    # bucket the shared capacity to a coarse grid: contraction compiles are
+    # minutes on remote TPUs, and per-plot caps otherwise vary by one
+    # 2048-row pad step between runs
     cap = max(p.shape[0] for p, _, _ in tree_arrays)
+    cap = -8192 * (-cap // 8192)
     batch_p = jnp.stack([
         jnp.pad(p, ((0, cap - p.shape[0]), (0, 0))) for p, _, _ in tree_arrays
     ])

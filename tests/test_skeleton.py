@@ -210,3 +210,83 @@ def test_transpose_ell_overflow_falls_back_to_exact(rng):
     L2 = L._replace(t_idx=t_idx2, t_w=t_w2, t_overflow=ov2)
     np.testing.assert_allclose(np.asarray(laplacian_rmatvec(L2, jnp.asarray(x))),
                                A.T @ x, rtol=1e-4, atol=1e-5)
+
+
+def test_two_level_contraction_matches_single_level(rng):
+    """Coarse->fine contraction must land on the same skeleton attractor as
+    the single-level loop: comparable contracted geometry (chamfer) and
+    topology cylinder counts."""
+    import numpy as np
+    from pyqsm_tpu.config import SkeletonizeConfig
+    from pyqsm_tpu.models.skeleton import (
+        extract_skeleton_batch, extract_topology, skeleton_to_qsm,
+    )
+
+    def seg(p0, p1, n, r):
+        t = rng.uniform(0, 1, n)[:, None]
+        axis = np.asarray(p1, float) - np.asarray(p0, float)
+        u = axis / np.linalg.norm(axis)
+        c = np.asarray(p0) + t * axis
+        d = rng.normal(size=(n, 3))
+        d -= (d @ u)[:, None] * u
+        d /= np.linalg.norm(d, axis=1, keepdims=True)
+        return c + d * r
+
+    pts = np.concatenate([
+        seg([0, 0, 0], [0, 0, 5], 9000, 0.3),
+        seg([0, 0, 5], [1.5, 0, 8], 5000, 0.15),
+        seg([0, 0, 5], [-1.2, 0.8, 7.5], 5000, 0.12),
+    ]).astype(np.float32)
+    cap = 32768  # big enough to trigger the two-level path
+    p = np.zeros((1, cap, 3), np.float32)
+    p[0, : len(pts)] = pts
+    m = np.zeros((1, cap), bool)
+    m[0, : len(pts)] = True
+    p, m = jnp.asarray(p), jnp.asarray(m)
+    cfg = SkeletonizeConfig()
+
+    one = extract_skeleton_batch(p, m, cfg, two_level=False)
+    two = extract_skeleton_batch(p, m, cfg, two_level=True)
+    c1 = np.asarray(one.contracted[0])[: len(pts)]
+    c2 = np.asarray(two.contracted[0])[: len(pts)]
+    # symmetric chamfer: same attractor geometry
+    from scipy.spatial import cKDTree
+
+    d12, _ = cKDTree(c1).query(c2, k=1)
+    d21, _ = cKDTree(c2).query(c1, k=1)
+    assert np.percentile(d12, 90) < 0.35, np.percentile(d12, 90)
+    assert np.percentile(d21, 90) < 0.35, np.percentile(d21, 90)
+
+    # same skeleton scale: total MST length within 40% (cylinder COUNT is
+    # not comparable — a cleaner contraction fuses noise junctions into
+    # longer degree-2 chains, which is closer to the true 3-segment tree)
+    t1 = extract_topology(one.contracted[0], m[0], one.total_shift[0])
+    t2 = extract_topology(two.contracted[0], m[0], two.total_shift[0])
+
+    def mst_length(t):
+        v = np.asarray(t.topology.vertices)
+        e = np.asarray(t.topology.edges)
+        em = np.asarray(t.topology.edge_mask)
+        g = t.graph
+        eu = np.asarray(g.edge_u)[em]
+        ev = np.asarray(g.edge_v)[em]
+        return float(np.linalg.norm(v[eu] - v[ev], axis=1).sum())
+
+    # ground-truth skeleton length: 5 + |(1.5,0,3)| + |(-1.2,0.8,2.5)| ≈ 11.2
+    true_len = 5.0 + np.linalg.norm([1.5, 0, 3.0]) + np.linalg.norm(
+        [-1.2, 0.8, 2.5])
+    l1, l2 = mst_length(t1), mst_length(t2)
+    # the two-level skeleton must stay in range of the true length (the
+    # single-level one is allowed more zigzag-noise inflation)
+    assert 0.6 * true_len < l2 < 1.4 * true_len, (l2, true_len)
+    assert 0.6 * true_len < l1 < 2.0 * true_len, (l1, true_len)
+    # both produce sane cylinders with positive radii
+    q2 = skeleton_to_qsm(t2)
+    n2 = int(jnp.sum(q2.mask))
+    assert n2 >= 2
+    r2 = np.asarray(q2.radius)[np.asarray(q2.mask)]
+    assert (r2 > 0.01).all() and (r2 < 1.0).all()
+    # exact first_shift: nonzero for live points, zero elsewhere
+    f = np.asarray(two.first_shift[0])
+    assert np.abs(f[: len(pts)]).max() > 1e-4
+    assert np.abs(f[len(pts):]).max() == 0.0
