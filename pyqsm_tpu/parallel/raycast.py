@@ -133,6 +133,78 @@ def sharded_cell_cast(
                           count=cnt[:ncells], ray_area=ray_area)
 
 
+def sharded_image_cast(mesh: Mesh, grid, axis: str = "points") -> Hits:
+    """Screen-space pinhole casting with each occupancy bucket's tile list
+    sharded over ``axis`` (scene + table replicated; a pinhole image is
+    embarrassingly parallel over pixel tiles). Completes the multi-chip
+    story for the third structured-bundle path; asserted equal to the
+    single-device ``ops.raygrid.image_cast``."""
+    import jax.numpy as jnp
+
+    from pyqsm_tpu.ops.raygrid import _image_cast_tiles
+
+    rid = np.asarray(grid.residual)
+    if (rid >= 0).any():
+        raise NotImplementedError(
+            "sharded_image_cast: eye-straddling residual triangles present; "
+            "use ops.raygrid.image_cast (single device) for this camera")
+
+    ntx = -(-grid.width // grid.tile_px)
+    nty = -(-grid.height // grid.tile_px)
+    tp = grid.tile_px
+    rpc = tp * tp
+    ntiles = ntx * nty
+    n_dev = int(np.prod(mesh.devices.shape))
+
+    t_all = jnp.full((ntiles + 1, rpc), jnp.inf, jnp.float32)
+    tri_all = jnp.full((ntiles + 1, rpc), -1, jnp.int32)
+    u_all = jnp.zeros((ntiles + 1, rpc), jnp.float32)
+    v_all = jnp.zeros((ntiles + 1, rpc), jnp.float32)
+    cnt_all = jnp.zeros((ntiles + 1, rpc), jnp.int32)
+
+    for cap, ids in grid.buckets:
+        pad = (-ids.shape[0]) % n_dev
+        ids_p = jnp.pad(ids, (0, pad), constant_values=-1)
+        table = grid.tri_of_slot[:, :cap]
+
+        def local(ids_l, tab, v0, e1, e2, valid):
+            # one block per shard: the local tile list is already bounded
+            return _image_cast_tiles(
+                ids_l, grid.eye, grid.right, grid.true_up, grid.fwd,
+                grid.half, grid.aspect, grid.width, grid.height, tp,
+                tab, v0, e1, e2, valid,
+                tiles_per_block=ids_l.shape[0],
+            )
+
+        fn = shard_map(
+            local, mesh=mesh,
+            in_specs=(P(axis), P(), P(), P(), P(), P()),
+            out_specs=(P(axis),) * 5,
+            check_vma=False,
+        )
+        ids_sh = jax.device_put(ids_p, NamedSharding(mesh, P(axis)))
+        t_, tri_, u_, v_, cnt_ = jax.jit(fn)(
+            ids_sh, table, grid.v0, grid.e1, grid.e2, grid.valid)
+        row = jnp.where(ids_p >= 0, ids_p, ntiles)
+        t_all = t_all.at[row].set(t_, mode="drop")
+        tri_all = tri_all.at[row].set(tri_, mode="drop")
+        u_all = u_all.at[row].set(u_, mode="drop")
+        v_all = v_all.at[row].set(v_, mode="drop")
+        cnt_all = cnt_all.at[row].set(cnt_, mode="drop")
+
+    def to_image(flat):
+        img = flat[:ntiles].reshape(ntx, nty, tp, tp)
+        img = jnp.transpose(img, (1, 2, 0, 3))
+        img = img.reshape(nty * tp, ntx * tp)
+        return img[: grid.height, : grid.width].reshape(-1)
+
+    t = to_image(t_all)
+    tri = to_image(tri_all)
+    uv = jnp.stack([to_image(u_all), to_image(v_all)], 1)
+    cnt = to_image(cnt_all)
+    return Hits(t=t, tri=tri, uv=uv, count=cnt)
+
+
 def _cell_cast_rows(direction, u, v, origin_uv, cell, nx, ny,
                     table, cell_ids, v0, e1, e2, valid,
                     rpc_side, cell_tile, back_dist):

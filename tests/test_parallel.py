@@ -198,3 +198,32 @@ def test_sharded_cell_cast_matches_single(rng):
     np.testing.assert_allclose(np.asarray(got.t), np.asarray(ref.t),
                                rtol=1e-5, atol=1e-6)
     np.testing.assert_array_equal(np.asarray(got.count), np.asarray(ref.count))
+
+
+def test_sharded_image_cast_matches_single(rng):
+    """Pinhole bucket tiles sharded over the mesh equal the single-device
+    image_cast (scene replicated)."""
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import Mesh
+
+    from pyqsm_tpu.ops.mesh import merge_meshes, sphere_mesh, cylinder_mesh
+    from pyqsm_tpu.ops.raygrid import build_image_grid, image_cast
+    from pyqsm_tpu.parallel.raycast import sharded_image_cast
+
+    mesh3d = merge_meshes([
+        sphere_mesh(jnp.array([0.0, 0, 3.0]), 1.0, n_lat=8, n_lon=16),
+        cylinder_mesh(jnp.array([0.0, 0, 1.0]), jnp.array([0.0, 0, 1]), 0.3, 2.0),
+    ])
+    eye = jnp.array([4.0, -5.0, 4.0])
+    center = jnp.array([0.0, 0.0, 2.0])
+    up = jnp.array([0.0, 0.0, 1.0])
+    grid = build_image_grid(mesh3d.vertices, mesh3d.triangles, eye, center,
+                            up, 65.0, 96, 72, tile_px=8)
+    ref = image_cast(grid)
+    devs = np.asarray(jax.devices()[:8]).reshape(8)
+    m = Mesh(devs, ("points",))
+    got = sharded_image_cast(m, grid)
+    np.testing.assert_allclose(np.asarray(got.t), np.asarray(ref.t),
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_array_equal(np.asarray(got.count), np.asarray(ref.count))
