@@ -108,13 +108,19 @@ def width_p95(points: Array, mask: Array) -> Array:
     """95th percentile of pairwise xy distances — the reference's
     width-at-height statistic (``canopy_metrics.py:296-311``).
 
-    CAP: materialises [N, N] via triu_indices — callers subsample the
-    height slice to ≤ 8192 rows first (``models/canopy.py:86-105`` does);
-    larger inputs raise at trace time."""
+    CAP: materialises [N, N] via triu_indices. Inputs above 8192 rows are
+    strided-subsampled at trace time (with a logged warning) — the p95 of a
+    uniform row subsample is a consistent estimator of the slice statistic
+    (``models/canopy.py:86-105`` already pre-subsamples)."""
     if points.shape[0] > 8192:
-        raise ValueError(
-            f"width_p95 materialises [N,N]; N={points.shape[0]} exceeds the "
-            "8192 cap — subsample the slice first (see models/canopy.py)")
+        import logging
+
+        stride = -(-points.shape[0] // 8192)
+        logging.getLogger("pyqsm.calc").warning(
+            "width_p95: N=%d exceeds the 8192 pairwise cap; "
+            "auto-subsampling every %dth row", points.shape[0], stride)
+        points = points[::stride]
+        mask = mask[::stride]
     xy = jnp.where(mask[:, None], points[:, :2], jnp.nan)
     d = jnp.linalg.norm(xy[:, None, :] - xy[None, :, :], axis=-1)
     n = points.shape[0]

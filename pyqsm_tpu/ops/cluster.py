@@ -244,14 +244,23 @@ def silhouette_score(points: Array, labels: Array, mask: Array) -> Array:
     """Mean silhouette coefficient (full pairwise — intended for the small
     clusters the reference sweeps, ``fit.py:183-202``).
 
-    CAP: materialises an [N, N] distance matrix + one-hot — callers must
-    subsample to ≤ ``_PAIRWISE_CAP`` rows first (``models/qsm.py`` and
-    ``models/canopy.py`` already do); larger inputs raise at trace time."""
+    CAP: materialises an [N, N] distance matrix + one-hot. Inputs above
+    ``_PAIRWISE_CAP`` rows are strided-subsampled at trace time with a
+    logged warning — the mean silhouette over a uniform row subsample is a
+    consistent estimate (``models/qsm.py`` / ``models/canopy.py`` already
+    pre-subsample)."""
+    if points.shape[0] > _PAIRWISE_CAP:
+        import logging
+
+        stride = -(-points.shape[0] // _PAIRWISE_CAP)
+        logging.getLogger("pyqsm.calc").warning(
+            "silhouette_score: N=%d exceeds the %d pairwise cap; "
+            "auto-subsampling every %dth row",
+            points.shape[0], _PAIRWISE_CAP, stride)
+        points = points[::stride]
+        labels = labels[::stride]
+        mask = mask[::stride]
     n = points.shape[0]
-    if n > _PAIRWISE_CAP:
-        raise ValueError(
-            f"silhouette_score materialises [N,N]; N={n} exceeds the "
-            f"{_PAIRWISE_CAP} cap — subsample first (see models/qsm.py)")
     pts = jnp.where(mask[:, None], points, jnp.inf)
     live = mask & (labels >= 0)
     diff = pts[:, None, :] - pts[None, :, :]

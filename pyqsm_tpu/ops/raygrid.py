@@ -537,35 +537,30 @@ class CellCastResult(NamedTuple):
     ray_area: float  # swept area per ray (for flux integrals)
 
 
-@partial(jax.jit, static_argnames=("cell", "nx", "ny", "rpc_side", "cell_tile",
-                                   "back_dist"))
-def _cell_cast(
-    direction: Array,
-    u: Array, v: Array, origin_uv: Array,
-    cell: float, nx: int, ny: int,
-    tri_of_slot: Array, v0: Array, e1: Array, e2: Array, valid: Array,
-    rpc_side: int, cell_tile: int, back_dist: float,
-):
-    ncells = nx * ny
+def _cell_cast_rows(direction, u, v, origin_uv, cell, nx, ny,
+                    table, cell_ids, v0, e1, e2, valid,
+                    rpc_side, cell_tile, back_dist):
+    """Cell-aligned cast over an explicit table strip + cell-id vector —
+    the SHARED body of the single-device ``_cell_cast`` and the shard-local
+    kernel of ``parallel.raycast.sharded_cell_cast`` (one implementation so
+    the two paths cannot diverge). Traceable; call under jit/shard_map."""
+    ncells_local = table.shape[0]
     rpc = rpc_side * rpc_side
-    cap = tri_of_slot.shape[1]
     d = direction / jnp.maximum(jnp.linalg.norm(direction), 1e-12)
     # sub-grid offsets within a cell (cell-centered samples)
     su = (jnp.arange(rpc_side) + 0.5) / rpc_side * cell
     gu, gv = jnp.meshgrid(su, su, indexing="xy")
     sub = jnp.stack([gu.ravel(), gv.ravel()], 1)  # [rpc, 2]
-
-    nt = -(-ncells // cell_tile)
-    pad_cells = nt * cell_tile
-    table = jnp.pad(tri_of_slot, ((0, pad_cells - ncells), (0, 0)),
-                    constant_values=-1)
+    nt = -(-ncells_local // cell_tile)
 
     def tile(ti):
-        cell_ids = ti * cell_tile + jnp.arange(cell_tile)
-        cx = (cell_ids // ny).astype(jnp.float32)
-        cy = (cell_ids % ny).astype(jnp.float32)
+        sl = lambda a: jax.lax.dynamic_slice_in_dim(a, ti * cell_tile,
+                                                    cell_tile)
+        cids = sl(cell_ids)
+        cx = (cids // ny).astype(jnp.float32)
+        cy = (cids % ny).astype(jnp.float32)
         # triangle block: table rows are contiguous — ONE dense slice per tile
-        slots = jax.lax.dynamic_slice_in_dim(table, ti * cell_tile, cell_tile)
+        slots = sl(table)
         tid = jnp.maximum(slots, 0)
         ok_tri = (slots >= 0) & valid[tid]  # [CT, cap]
         tv0 = v0[tid]  # [CT, cap, 3] — gathered once per CELL, not per ray
@@ -595,16 +590,40 @@ def _cell_cast(
         tmin = jnp.min(tt, -1)
         tri_best = jnp.where(
             jnp.isfinite(tmin),
-            jnp.take_along_axis(slots[:, None, :].repeat(rpc, 1), j[..., None], 2)[..., 0],
+            jnp.take_along_axis(
+                jnp.broadcast_to(slots[:, None, :],
+                                 (cell_tile, rpc, slots.shape[1])),
+                j[..., None], 2)[..., 0],
             -1,
         )
         return tmin, tri_best, cnt
 
     t_, tri_, cnt_ = jax.lax.map(tile, jnp.arange(nt))
-    t_ = t_.reshape(pad_cells, rpc)[:ncells]
-    tri_ = tri_.reshape(pad_cells, rpc)[:ncells]
-    cnt_ = cnt_.reshape(pad_cells, rpc)[:ncells]
-    return t_, tri_, cnt_
+    pad_cells = nt * cell_tile
+    return (t_.reshape(pad_cells, rpc)[:ncells_local],
+            tri_.reshape(pad_cells, rpc)[:ncells_local],
+            cnt_.reshape(pad_cells, rpc)[:ncells_local])
+
+
+@partial(jax.jit, static_argnames=("cell", "nx", "ny", "rpc_side", "cell_tile",
+                                   "back_dist"))
+def _cell_cast(
+    direction: Array,
+    u: Array, v: Array, origin_uv: Array,
+    cell: float, nx: int, ny: int,
+    tri_of_slot: Array, v0: Array, e1: Array, e2: Array, valid: Array,
+    rpc_side: int, cell_tile: int, back_dist: float,
+):
+    ncells = nx * ny
+    nt = -(-ncells // cell_tile)
+    pad_cells = nt * cell_tile
+    table = jnp.pad(tri_of_slot, ((0, pad_cells - ncells), (0, 0)),
+                    constant_values=-1)
+    cell_ids = jnp.arange(pad_cells, dtype=jnp.int32)
+    t_, tri_, cnt_ = _cell_cast_rows(
+        direction, u, v, origin_uv, cell, nx, ny, table, cell_ids,
+        v0, e1, e2, valid, rpc_side, cell_tile, back_dist)
+    return t_[:ncells], tri_[:ncells], cnt_[:ncells]
 
 
 def cell_cast_parallel(grid: RayGrid, direction, rays_per_cell_side: int = 4,

@@ -69,6 +69,39 @@ def _moller_trumbore(
     return jnp.where(hit, t, jnp.inf), u, v
 
 
+_GRID_CACHE: list = []  # [(weakref(vertices), weakref(triangles), grid)]
+_GRID_CACHE_MAX = 4
+
+
+def _cached_grid3d(vertices: Array, triangles: Array):
+    """Build-or-reuse a ``Grid3D`` keyed on the mesh array OBJECTS, so
+    repeat casts against the same mesh don't silently pay the host-side
+    argsort build every call (weakrefs — freed meshes drop out)."""
+    import weakref
+
+    from pyqsm_tpu.ops.grid3d import build_grid3d
+
+    live = []
+    hit = None
+    for wv, wt, g in _GRID_CACHE:
+        v, t = wv(), wt()
+        if v is None or t is None:
+            continue
+        live.append((wv, wt, g))
+        if v is vertices and t is triangles:
+            hit = g
+    _GRID_CACHE[:] = live
+    if hit is not None:
+        return hit
+    g = build_grid3d(vertices, triangles)
+    try:
+        _GRID_CACHE.append((weakref.ref(vertices), weakref.ref(triangles), g))
+        del _GRID_CACHE[:-_GRID_CACHE_MAX]
+    except TypeError:  # non-weakref-able inputs (plain ndarray subclasses)
+        pass
+    return g
+
+
 def cast_rays(
     origins: Array,
     dirs: Array,
@@ -77,25 +110,28 @@ def cast_rays(
     ray_tile: int = 2048,
     tri_tile: int = 1024,
     backend: str = "auto",
+    grid=None,
 ) -> Hits:
     """Closest-hit + any-hit-count casting (Embree ``cast_rays`` +
     ``list_intersections`` capabilities in one pass).
 
     ``backend``: 'xla' (scanned tiles), 'pallas' (fused VMEM-resident
     kernel, ``ops.pallas_kernels.mt_raycast``), 'grid' (uniform-grid DDA
-    acceleration, ``ops.grid3d`` — built per call; prebuild with
-    ``build_grid3d`` + ``grid_cast`` to amortise over bundles), or 'auto'
-    (grid for scenes past the brute crossover, else pallas on TPU / xla
-    elsewhere)."""
+    acceleration, ``ops.grid3d`` — cached per mesh-array identity, or pass
+    a prebuilt ``grid=`` from ``build_grid3d``), or 'auto' (grid for scenes
+    past the brute crossover, else pallas on TPU / xla elsewhere)."""
+    if grid is not None:
+        backend = "grid"
     if backend == "auto":
         if triangles.shape[0] >= 4096:
             backend = "grid"
         else:
             backend = "pallas" if jax.default_backend() == "tpu" else "xla"
     if backend == "grid":
-        from pyqsm_tpu.ops.grid3d import build_grid3d, grid_cast
+        from pyqsm_tpu.ops.grid3d import grid_cast
 
-        grid = build_grid3d(vertices, triangles)
+        if grid is None:
+            grid = _cached_grid3d(vertices, triangles)
         return grid_cast(grid, origins, dirs, count_all=True)
     if backend == "pallas":
         from pyqsm_tpu.ops.pallas_kernels import mt_raycast

@@ -99,7 +99,7 @@ def sharded_cell_cast(
     replicated); the per-cell ray blocks never cross devices."""
     import jax.numpy as jnp
 
-    from pyqsm_tpu.ops.raygrid import CellCastResult, _cell_cast
+    from pyqsm_tpu.ops.raygrid import CellCastResult, _cell_cast_rows
 
     ncells = grid.nx * grid.ny
     n_dev = int(np.prod(mesh.devices.shape)) if hasattr(mesh, "devices") \
@@ -203,65 +203,3 @@ def sharded_image_cast(mesh: Mesh, grid, axis: str = "points") -> Hits:
     uv = jnp.stack([to_image(u_all), to_image(v_all)], 1)
     cnt = to_image(cnt_all)
     return Hits(t=t, tri=tri, uv=uv, count=cnt)
-
-
-def _cell_cast_rows(direction, u, v, origin_uv, cell, nx, ny,
-                    table, cell_ids, v0, e1, e2, valid,
-                    rpc_side, cell_tile, back_dist):
-    """Cell-aligned cast over an explicit (local) table strip + cell-id
-    vector — the shard-local body of ``sharded_cell_cast`` (mirrors
-    ``ops.raygrid._cell_cast`` with the rows passed in)."""
-    import jax.numpy as jnp
-
-    ncells_local = table.shape[0]
-    rpc = rpc_side * rpc_side
-    d = direction / jnp.maximum(jnp.linalg.norm(direction), 1e-12)
-    su = (jnp.arange(rpc_side) + 0.5) / rpc_side * cell
-    gu, gv = jnp.meshgrid(su, su, indexing="xy")
-    sub = jnp.stack([gu.ravel(), gv.ravel()], 1)
-    nt = -(-ncells_local // cell_tile)
-
-    def tile(ti):
-        sl = lambda a: jax.lax.dynamic_slice_in_dim(a, ti * cell_tile,
-                                                    cell_tile)
-        cids = sl(cell_ids)
-        cx = (cids // ny).astype(jnp.float32)
-        cy = (cids % ny).astype(jnp.float32)
-        slots = sl(table)
-        tid = jnp.maximum(slots, 0)
-        ok_tri = (slots >= 0) & valid[tid]
-        tv0 = v0[tid]
-        te1 = e1[tid]
-        te2 = e2[tid]
-        uu = origin_uv[0] + cx[:, None] * cell + sub[None, :, 0]
-        vv = origin_uv[1] + cy[:, None] * cell + sub[None, :, 1]
-        o = (uu[..., None] * u[None, None, :] + vv[..., None] * v[None, None, :]
-             - back_dist * d[None, None, :])
-        pvec = jnp.cross(d[None, None, :], te2)[:, None, :, :]
-        det = jnp.sum(te1[:, None, :, :] * pvec, -1)
-        inv = jnp.where(jnp.abs(det) > 1e-9, 1.0 / det, 0.0)
-        tvec = o[:, :, None, :] - tv0[:, None, :, :]
-        uu_ = jnp.sum(tvec * pvec, -1) * inv
-        qvec = jnp.cross(tvec, te1[:, None, :, :])
-        vv_ = jnp.sum(d[None, None, None, :] * qvec, -1) * inv
-        tt = jnp.sum(te2[:, None, :, :] * qvec, -1) * inv
-        hit = ((jnp.abs(det) > 1e-9) & (uu_ >= -1e-9) & (vv_ >= -1e-9)
-               & (uu_ + vv_ <= 1 + 1e-9) & (tt > 1e-6) & ok_tri[:, None, :])
-        tt = jnp.where(hit, tt, jnp.inf)
-        cnt = jnp.sum(hit, -1).astype(jnp.int32)
-        j = jnp.argmin(tt, -1)
-        tmin = jnp.min(tt, -1)
-        tri_best = jnp.where(
-            jnp.isfinite(tmin),
-            jnp.take_along_axis(
-                jnp.broadcast_to(slots[:, None, :],
-                                 (cell_tile, rpc, slots.shape[1])),
-                j[..., None], 2)[..., 0],
-            -1)
-        return tmin, tri_best, cnt
-
-    t_, tri_, cnt_ = jax.lax.map(tile, jnp.arange(nt))
-    pad_cells = nt * cell_tile
-    return (t_.reshape(pad_cells, rpc)[:ncells_local],
-            tri_.reshape(pad_cells, rpc)[:ncells_local],
-            cnt_.reshape(pad_cells, rpc)[:ncells_local])
