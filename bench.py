@@ -8,20 +8,27 @@ the reference spreads across tree_isolation → pipeline → qsm_generation).
 Baseline for ``vs_baseline``: 10M points in 60 s on v5e-8 = 0.1667 Mpts/s
 (BASELINE.md); this bench runs single-chip.
 
-Also recorded: isolation at the reference's own default parameters
-(max_dist=0.1, base_min_points=300 — tree_isolation.py:67-70,316) next to
-the tuned ones, a sphere-following QSM on the largest tree, and ray
-throughput (screen-space pinhole + cell-aligned sun bundle) against a
-device-reconstructed ≥100k-triangle canopy mesh.
+Deadline-hardened: the measurement runs on a worker thread while the main
+thread services signals. A full-schema JSON line is (re)emitted after
+EVERY completed section — cold pass, steady pass, raycast, sphere-QSM,
+ref-params, approx-top-k — so a ``timeout``/SIGTERM kill still leaves the
+best-available artifact on stdout (``"partial": true``; the last line is
+the most complete one). An optional self-deadline (``--deadline`` /
+``BENCH_DEADLINE_S``) emits-and-exits even if the driver only SIGKILLs.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Sections are ordered by evidential value: headline pipeline first, the
+raycast secondary next, then sphere-QSM, ref-params isolation, and the
+approx-top-k recall check last.
 """
 
 from __future__ import annotations
 
 import argparse
 import json
+import os
+import signal
 import sys
+import threading
 import time
 
 import numpy as np
@@ -48,28 +55,71 @@ def synthetic_plot(n_total: int, n_trees: int = 8, seed: int = 0) -> np.ndarray:
 
 
 def _progress(msg: str) -> None:
-    import sys as _sys
-    print(f"# {msg}", file=_sys.stderr, flush=True)
+    print(f"# {msg}", file=sys.stderr, flush=True)
 
 
-def main() -> int:
-    parser = argparse.ArgumentParser()
-    parser.add_argument("--n", type=int, default=10_000_000)
-    parser.add_argument("--trees", type=int, default=8)
-    parser.add_argument("--skeleton-points", type=int, default=40_000)
-    parser.add_argument("--walk-points", type=int, default=300_000,
-                        help="resolution cap for the sphere walk (the walk "
-                        "needs trunk SURFACE density; the contraction cap "
-                        "would dissolve the trunk at 10M-pt plots)")
-    parser.add_argument("--skip-ref-params", action="store_true")
-    args = parser.parse_args()
+class _Artifact:
+    """Best-available bench result; every update re-emits one full JSON line
+    to stdout (the driver parses the LAST parsable line)."""
 
+    def __init__(self) -> None:
+        self._lock = threading.Lock()
+        self.value = 0.0
+        self.detail: dict = {}
+        self.partial_note = "no section completed"
+
+    def update(self, *, value: float | None = None, partial: bool = True,
+               note: str | None = None, **detail_updates) -> None:
+        with self._lock:
+            if value is not None:
+                self.value = value
+            self.detail.update(detail_updates)
+            if note is not None:
+                self.partial_note = note
+            self._emit(partial)
+
+    def emit_signal(self, reason: str) -> None:
+        with self._lock:
+            self.detail["killed_by"] = reason
+            self._emit(True)
+
+    def _emit(self, partial: bool) -> None:
+        detail = dict(self.detail)
+        if partial:
+            detail["partial"] = True
+            detail["partial_note"] = self.partial_note
+        print(json.dumps({
+            "metric": "Mpts/sec isolate->skeleton->QSM pipeline (10M-pt plot)",
+            "value": round(self.value, 4),
+            "unit": "Mpts/s",
+            "vs_baseline": round(self.value / NORTH_STAR_MPTS_S, 3),
+            "detail": detail,
+        }), flush=True)
+
+
+ARTIFACT = _Artifact()
+
+
+def _bench_body(args) -> None:
     import jax
 
     # persistent compilation cache: axon compiles cost minutes; the cache
     # lives in-repo so later bench runs (and rounds) skip them
-    jax.config.update("jax_compilation_cache_dir", str(__import__("pathlib").Path(__file__).parent / ".jax_cache"))
+    jax.config.update("jax_compilation_cache_dir",
+                      str(__import__("pathlib").Path(__file__).parent / ".jax_cache"))
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    # backend guard: the axon plugin ignores JAX_PLATFORMS=cpu env, so an
+    # intended CPU smoke run silently lands on the chip (single-client lock,
+    # ~300 ms dispatches). --backend cpu forces it properly; the default
+    # asserts an accelerator is actually present.
+    if args.backend == "cpu":
+        jax.config.update("jax_platforms", "cpu")
+    backend = jax.default_backend()
+    if args.backend == "tpu" and backend == "cpu":
+        _progress("WARNING: no TPU backend found; running on CPU "
+                  "(pass --backend cpu to silence)")
+
     import jax.numpy as jnp
 
     from pyqsm_tpu.config import Config, IsolationConfig
@@ -85,6 +135,10 @@ def main() -> int:
     pts = jnp.asarray(pts_np)
     pts.block_until_ready()
     _progress("upload done")
+    ARTIFACT.update(n_points=n, backend=backend,
+                    scope="process_plot: isolation + skeleton QSM on EVERY "
+                          "tree; single chip",
+                    note="upload done; cold pass did not complete")
     mask = jnp.ones(n, dtype=bool)
     cfg = Config()
 
@@ -111,30 +165,114 @@ def main() -> int:
     # pass 1: cold process — pays per-kernel executable load (and compiles on
     # a cold cache); pass 2: the steady-state number a resident service sees
     _progress("cold pass")
-    cold, _, _ = run_pipeline()
+    cold, res_c, n_cyl_c = run_pipeline()
+    lab_c = np.asarray(res_c.growth.labels)
+    ARTIFACT.update(
+        value=n / cold["total_s"] / 1e6,  # cold throughput = valid lower bound
+        cold_total_s=round(cold["total_s"], 2),
+        trees_found=int(len(np.unique(lab_c[lab_c >= 0]))),
+        trees_skeletonized=len(res_c.trees),
+        skeleton_cylinders=int(n_cyl_c),
+        value_basis="cold",
+        note="cold pass done; steady pass did not complete",
+    )
     _progress(f"cold done {cold['total_s']:.1f}s; steady pass")
     steady, res, n_cyl_skel = run_pipeline()
 
     lab_np = np.asarray(res.growth.labels)
     uniq, counts = np.unique(lab_np[lab_np >= 0], return_counts=True)
-    n_trees_found = len(uniq)
 
     total = steady["total_s"]
-    value = n / total / 1e6
+    ARTIFACT.update(
+        value=n / total / 1e6,
+        total_s=round(total, 2),
+        stages={k: round(v, 2) if isinstance(v, float) else v
+                for k, v in steady.items() if k != "total_s"},
+        trees_found=int(len(uniq)),
+        trees_skeletonized=len(res.trees),
+        skeleton_cylinders=int(n_cyl_skel),
+        value_basis="steady",
+        note="headline (steady) done; secondary sections pending",
+    )
+    _progress("steady done; raycast secondary")
 
-    detail = {
-        "n_points": n,
-        "total_s": round(total, 2),
-        "cold_total_s": round(cold["total_s"], 2),
-        "stages": {k: v for k, v in steady.items() if k != "total_s"},
-        "trees_found": int(n_trees_found),
-        "trees_skeletonized": len(res.trees),
-        "skeleton_cylinders": int(n_cyl_skel),
-        "scope": "process_plot: isolation + skeleton QSM on EVERY tree; single chip",
-        "backend": jax.default_backend(),
-    }
+    # secondary headline: ray throughput against a device-reconstructed
+    # canopy mesh (>=100k triangles — the north-star raycast workload)
+    try:
+        from pyqsm_tpu.ops.raygrid import (
+            build_image_grid, build_ray_grid, cell_cast_parallel, image_cast,
+        )
+        from pyqsm_tpu.ops.voxelmesh import poisson_like_mesh, simplify_mesh
 
-    _progress("steady done; ref-params isolation")
+        canopy_mask = mask & (pts[:, 2] > 6.0)
+        scene = poisson_like_mesh(pts, canopy_mask, voxel=0.12, blur_iters=1)
+        n_tri_raw = int(scene.n_triangles())
+        scene = simplify_mesh(scene, target_triangles=args.raycast_triangles)
+        n_tri = int(scene.n_triangles())
+
+        v = np.asarray(scene.vertices)
+        center = jnp.asarray(v.mean(0))
+        eye = center + jnp.asarray([0.0, -30.0, 18.0])
+        W, H = 1280, 950
+        grid_i = build_image_grid(scene.vertices, scene.triangles, eye,
+                                  center, jnp.asarray([0.0, 0, 1.0]),
+                                  60.0, W, H)
+        h = image_cast(grid_i)
+        jax.block_until_ready(h.t)
+        t0r = time.perf_counter()
+        h = image_cast(grid_i)
+        jax.block_until_ready(h.t)
+        pinhole = W * H / (time.perf_counter() - t0r) / 1e6
+        ARTIFACT.update(scene_triangles=n_tri, scene_triangles_raw=n_tri_raw,
+                        raycast_Mrays_s=round(pinhole, 2),
+                        note="pinhole raycast done")
+
+        direction = np.array([0.3, 0.2, -0.93], np.float32)
+        direction /= np.linalg.norm(direction)
+        grid_s = build_ray_grid(scene.vertices, scene.triangles, direction)
+        rpc = 16
+        n_sun = grid_s.nx * grid_s.ny * rpc * rpc
+        r = cell_cast_parallel(grid_s, direction, rays_per_cell_side=rpc)
+        jax.block_until_ready(r.t)
+        t0r = time.perf_counter()
+        r = cell_cast_parallel(grid_s, direction, rays_per_cell_side=rpc)
+        jax.block_until_ready(r.t)
+        ARTIFACT.update(
+            sun_grid_Mrays_s=round(n_sun / (time.perf_counter() - t0r) / 1e6, 2),
+            note="raycast done; sphere QSM pending")
+    except Exception as e:  # noqa: BLE001 — secondary metric must not kill bench
+        ARTIFACT.update(raycast_error=type(e).__name__)
+    _progress("sphere QSM")
+
+    # sphere-following QSM on the largest tree (the reference's other QSM
+    # route, qsm_generation.py:182-316)
+    try:
+        best = uniq[np.argmax(counts)]
+        tree_pts, tree_mask_c, _ = compact_rows(pts, jnp.asarray(lab_np == best))
+        voxel = 0.03
+        p2, m2, _ = voxel_downsample(tree_pts, voxel, tree_mask_c)
+        while int(jnp.sum(m2)) > args.walk_points and voxel < 0.5:
+            voxel *= 1.3
+            p2, m2, _ = voxel_downsample(tree_pts, voxel, tree_mask_c)
+        p2, m2, _ = compact_rows(p2, m2)
+        z = np.asarray(p2[:, 2])
+        m2_np = np.asarray(m2)
+        zmin = float(np.min(np.where(m2_np, z, np.inf)))
+        rows = np.flatnonzero(m2_np & (z < zmin + 0.5))
+        seed = np.full(1024, -1, np.int32)
+        seed[: min(len(rows), 1024)] = rows[:1024]
+        t0 = time.perf_counter()
+        qsm = sphere_following_qsm(
+            p2, m2, jnp.asarray(seed), jnp.asarray(seed >= 0), 0.3,
+            sphere=cfg.sphere, dbscan_cfg=cfg.dbscan, max_steps=48,
+        )
+        ARTIFACT.update(sphere_qsm_s=round(time.perf_counter() - t0, 2),
+                        sphere_qsm_cylinders=int(qsm.cylinders.count()),
+                        note="sphere QSM done; ref-params pending")
+    except Exception as e:  # noqa: BLE001
+        ARTIFACT.update(sphere_qsm_error=type(e).__name__)
+    _progress("ref-params isolation")
+
     # reference-default isolation parameters (tree_isolation.py:67-70,316)
     # alongside the tuned ones — recorded, not part of the headline metric
     if not args.skip_ref_params:
@@ -143,13 +281,15 @@ def main() -> int:
             t0 = time.perf_counter()
             g = build_trees(pts, mask, ref_iso)
             ref_lab = np.asarray(g.labels)
-            detail["ref_params_isolation_s"] = round(time.perf_counter() - t0, 2)
-            detail["ref_params_trees_found"] = int(
-                len(np.unique(ref_lab[ref_lab >= 0])))
+            ARTIFACT.update(
+                ref_params_isolation_s=round(time.perf_counter() - t0, 2),
+                ref_params_trees_found=int(
+                    len(np.unique(ref_lab[ref_lab >= 0]))),
+                note="ref-params done; approx-topk pending")
         except Exception as e:  # noqa: BLE001
-            detail["ref_params_isolation_error"] = type(e).__name__
-
+            ARTIFACT.update(ref_params_isolation_error=type(e).__name__)
     _progress("approx-topk check")
+
     # approx-top-k validation ON DEVICE (VERDICT r1 #8): the Laplacian kNN
     # routes through the TPU hardware approx_max_k, which lowers to EXACT
     # top-k on CPU — so CI never exercises the approximate path the TPU
@@ -176,87 +316,67 @@ def main() -> int:
             / max((e[i] >= 0).sum(), 1)
             for i in range(0, len(a), max(len(a) // 2048, 1))
         ])
-        detail["approx_topk_recall"] = round(float(recall), 4)
+        ARTIFACT.update(approx_topk_recall=round(float(recall), 4))
     except Exception as e:  # noqa: BLE001
-        detail["approx_topk_error"] = type(e).__name__
+        ARTIFACT.update(approx_topk_error=type(e).__name__)
 
-    _progress("sphere QSM")
-    # sphere-following QSM on the largest tree (the reference's other QSM
-    # route, qsm_generation.py:182-316)
-    try:
-        best = uniq[np.argmax(counts)]
-        tree_pts, tree_mask_c, _ = compact_rows(pts, jnp.asarray(lab_np == best))
-        voxel = 0.03
-        p2, m2, _ = voxel_downsample(tree_pts, voxel, tree_mask_c)
-        while int(jnp.sum(m2)) > args.walk_points and voxel < 0.5:
-            voxel *= 1.3
-            p2, m2, _ = voxel_downsample(tree_pts, voxel, tree_mask_c)
-        p2, m2, _ = compact_rows(p2, m2)
-        z = np.asarray(p2[:, 2])
-        m2_np = np.asarray(m2)
-        zmin = float(np.min(np.where(m2_np, z, np.inf)))
-        rows = np.flatnonzero(m2_np & (z < zmin + 0.5))
-        seed = np.full(1024, -1, np.int32)
-        seed[: min(len(rows), 1024)] = rows[:1024]
-        t0 = time.perf_counter()
-        qsm = sphere_following_qsm(
-            p2, m2, jnp.asarray(seed), jnp.asarray(seed >= 0), 0.3,
-            sphere=cfg.sphere, dbscan_cfg=cfg.dbscan, max_steps=48,
-        )
-        detail["sphere_qsm_s"] = round(time.perf_counter() - t0, 2)
-        detail["sphere_qsm_cylinders"] = int(qsm.cylinders.count())
-    except Exception as e:  # noqa: BLE001
-        detail["sphere_qsm_error"] = type(e).__name__
+    # final, complete emission (partial flags are only ever added to the
+    # emitted copy, so this line carries none)
+    ARTIFACT.update(partial=False, note="complete")
 
-    _progress("raycast secondary")
-    # secondary headline: ray throughput against a device-reconstructed
-    # canopy mesh (>=100k triangles — the north-star raycast workload)
-    try:
-        from pyqsm_tpu.ops.raygrid import (
-            build_image_grid, build_ray_grid, cell_cast_parallel, image_cast,
-        )
-        from pyqsm_tpu.ops.voxelmesh import poisson_like_mesh
 
-        canopy_mask = mask & (pts[:, 2] > 6.0)
-        scene = poisson_like_mesh(pts, canopy_mask, voxel=0.12, blur_iters=1)
-        n_tri = scene.n_triangles()
-        detail["scene_triangles"] = int(n_tri)
+def main() -> int:
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--n", type=int, default=10_000_000)
+    parser.add_argument("--trees", type=int, default=8)
+    parser.add_argument("--skeleton-points", type=int, default=40_000)
+    parser.add_argument("--walk-points", type=int, default=300_000,
+                        help="resolution cap for the sphere walk (the walk "
+                        "needs trunk SURFACE density; the contraction cap "
+                        "would dissolve the trunk at 10M-pt plots)")
+    parser.add_argument("--raycast-triangles", type=int, default=400_000,
+                        help="decimation target for the canopy scene (the "
+                        "raw marching-tet isosurface is ~1.6M tris at 10M "
+                        "pts; vertex-clustering simplification keeps the "
+                        "scene at production scale)")
+    parser.add_argument("--skip-ref-params", action="store_true")
+    parser.add_argument("--backend", default="tpu", choices=["tpu", "cpu"],
+                        help="'tpu' (default; warns if absent) or 'cpu' "
+                        "(forced via jax.config — the axon plugin ignores "
+                        "JAX_PLATFORMS=cpu)")
+    parser.add_argument("--deadline", type=float,
+                        default=float(os.environ.get("BENCH_DEADLINE_S", 0)),
+                        help="self-deadline in seconds (0 = none): emit the "
+                        "best-available artifact and exit before an external "
+                        "SIGKILL can produce an empty one")
+    args = parser.parse_args()
 
-        v = np.asarray(scene.vertices)
-        center = jnp.asarray(v.mean(0))
-        eye = center + jnp.asarray([0.0, -30.0, 18.0])
-        W, H = 1280, 950
-        grid_i = build_image_grid(scene.vertices, scene.triangles, eye,
-                                  center, jnp.asarray([0.0, 0, 1.0]),
-                                  60.0, W, H)
-        h = image_cast(grid_i)
-        jax.block_until_ready(h.t)
-        t0r = time.perf_counter()
-        h = image_cast(grid_i)
-        jax.block_until_ready(h.t)
-        detail["raycast_Mrays_s"] = round(W * H / (time.perf_counter() - t0r) / 1e6, 2)
+    worker_error: list[BaseException] = []
 
-        direction = np.array([0.3, 0.2, -0.93], np.float32)
-        direction /= np.linalg.norm(direction)
-        grid_s = build_ray_grid(scene.vertices, scene.triangles, direction)
-        rpc = 16
-        n_sun = grid_s.nx * grid_s.ny * rpc * rpc
-        r = cell_cast_parallel(grid_s, direction, rays_per_cell_side=rpc)
-        jax.block_until_ready(r.t)
-        t0r = time.perf_counter()
-        r = cell_cast_parallel(grid_s, direction, rays_per_cell_side=rpc)
-        jax.block_until_ready(r.t)
-        detail["sun_grid_Mrays_s"] = round(n_sun / (time.perf_counter() - t0r) / 1e6, 2)
-    except Exception as e:  # noqa: BLE001 — secondary metric must not kill bench
-        detail["raycast_error"] = type(e).__name__
+    def work():
+        try:
+            _bench_body(args)
+        except BaseException as e:  # noqa: BLE001
+            worker_error.append(e)
 
-    print(json.dumps({
-        "metric": "Mpts/sec isolate->skeleton->QSM pipeline (10M-pt plot)",
-        "value": round(value, 4),
-        "unit": "Mpts/s",
-        "vs_baseline": round(value / NORTH_STAR_MPTS_S, 3),
-        "detail": detail,
-    }))
+    t = threading.Thread(target=work, daemon=True)
+
+    def on_signal(signum, frame):  # noqa: ARG001
+        ARTIFACT.emit_signal(signal.Signals(signum).name)
+        os._exit(0)  # worker may be blocked in a device call — exit hard
+
+    for sig in (signal.SIGTERM, signal.SIGINT, signal.SIGHUP):
+        signal.signal(sig, on_signal)
+    if args.deadline > 0:
+        signal.signal(signal.SIGALRM, on_signal)
+        signal.alarm(int(args.deadline))
+
+    t.start()
+    while t.is_alive():  # main thread stays signal-responsive
+        time.sleep(0.2)
+    if worker_error:
+        ARTIFACT.emit_signal(f"worker_error:{type(worker_error[0]).__name__}")
+        raise worker_error[0]
     return 0
 
 

@@ -82,3 +82,36 @@ def test_density_grid_counts(rng):
     assert f[0, 0, 0] == 2.0
     assert f[3, 0, 0] == 1.0
     assert f.sum() == 3.0
+
+
+def test_simplify_mesh_preserves_area_and_hits_target(rng):
+    from pyqsm_tpu.ops.voxelmesh import simplify_mesh
+
+    pts = sphere_cloud(rng, 40000, r=1.0)
+    mesh = poisson_like_mesh(jnp.asarray(pts), voxel=0.05, blur_iters=1)
+    n0 = mesh.n_triangles()
+    assert n0 > 4000
+    target = n0 // 8
+    simp = simplify_mesh(mesh, target_triangles=target)
+    n1 = simp.n_triangles()
+    assert n1 <= target
+    assert n1 > target // 8  # not collapsed to nothing
+    a0 = mesh_properties(weld_vertices(mesh))["surface_area"]
+    a1 = mesh_properties(simp)["surface_area"]
+    assert abs(a1 - a0) / a0 < 0.25  # clustering keeps the shell area
+    # vertices shared (welded output): triangle ids reference a compact pool
+    t = np.asarray(simp.triangles)
+    assert t.max() < len(np.asarray(simp.vertices))
+    # spherical shell stays a shell
+    v = np.asarray(simp.vertices)
+    rr = np.linalg.norm(v, axis=1)
+    assert rr.min() > 0.3 and rr.max() < 1.8
+
+
+def test_simplify_mesh_noop_below_target():
+    from pyqsm_tpu.ops.mesh import sphere_mesh
+    from pyqsm_tpu.ops.voxelmesh import simplify_mesh
+
+    m = sphere_mesh(jnp.zeros(3), 1.0, n_lat=8, n_lon=16)
+    out = simplify_mesh(m, target_triangles=10_000)
+    assert out.n_triangles() == m.n_triangles()
