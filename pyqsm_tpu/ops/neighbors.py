@@ -594,6 +594,54 @@ def _cell_blocked_query(
     return out_d, out_i
 
 
+_FIRST_K_LOOP_MAX = 16
+
+
+def _first_k_extract(ok, cand_ids, d2, k, need_dists):
+    """First-k in-radius candidate extraction along the LAST axis, unsorted
+    (cell-order) — the shared tail of the three any-k kernels.
+
+    Small k: per-slot masked max-reduce (k static reductions; each slot j has
+    exactly one candidate with cumsum-pos == j). Larger k: ONE ``lax.top_k``
+    on the ok flags — equal keys resolve by ascending index, so it selects
+    the first k ok candidates directly. The k-pass loop at k=64 × cap=128
+    previously unrolled into a compile explosion (356 s CPU compile on a
+    600-point input).
+
+    ok:       [..., C] bool
+    cand_ids: [..., C] i32 (broadcastable against ok)
+    d2:       [..., C] f32 (broadcastable), squared distances
+    Returns (out_d [..., k] distances or inf, out_i [..., k] ids or -1).
+    """
+    if k <= _FIRST_K_LOOP_MAX:
+        pos = jnp.cumsum(ok.astype(jnp.int32), axis=-1) - 1
+        outs_i, outs_d = [], []
+        for j in range(k):
+            mj = ok & (pos == j)
+            outs_i.append(jnp.max(jnp.where(mj, cand_ids, -1), axis=-1))
+            if need_dists:
+                outs_d.append(jnp.max(jnp.where(mj, d2, -jnp.inf), axis=-1))
+        out_i = jnp.stack(outs_i, axis=-1)
+        if need_dists:
+            out_d2 = jnp.stack(outs_d, axis=-1)
+            out_d = jnp.where(out_i >= 0,
+                              jnp.sqrt(jnp.maximum(out_d2, 0.0)), jnp.inf)
+        else:
+            out_d = jnp.where(out_i >= 0, 0.0, jnp.inf)
+        return out_d, out_i
+    vals, sel = jax.lax.top_k(ok.astype(jnp.int32), k)
+    got = vals > 0
+    cand_b = jnp.broadcast_to(cand_ids, ok.shape)
+    out_i = jnp.where(got, jnp.take_along_axis(cand_b, sel, axis=-1), -1)
+    if need_dists:
+        d2_b = jnp.broadcast_to(d2, ok.shape)
+        d2_sel = jnp.take_along_axis(d2_b, sel, axis=-1)
+        out_d = jnp.where(got, jnp.sqrt(jnp.maximum(d2_sel, 0.0)), jnp.inf)
+    else:
+        out_d = jnp.where(got, 0.0, jnp.inf)
+    return out_d, out_i
+
+
 @partial(jax.jit, static_argnames=("radius", "k", "nc_cap", "cap", "cell_tile",
                                    "need_dists"))
 def _cell_blocked_any_k(
@@ -679,24 +727,12 @@ def _cell_blocked_any_k(
         )
         d2 = q_sq[:, :, None] + c_sq[:, None, :] - 2.0 * cross  # [ct, cap, 27cap]
         ok = c_valid.reshape(cell_tile, 1, -1) & (d2 <= r2) & q_valid[:, :, None]
-        # first-k slot assignment (no sort): per slot j, exactly one candidate
-        # has pos==j, extracted by a masked max-reduce — k small static
-        # reductions instead of a [.., 27cap] partial sort + gather chain
-        pos = jnp.cumsum(ok.astype(jnp.int32), axis=2) - 1  # [ct, cap, 27cap]
         cand_orig = index.sorted_idx[c_idx.reshape(cell_tile, -1)]  # [ct, 27cap]
         cand_b = cand_orig[:, None, :]  # [ct, 1, 27cap]
-        outs_i, outs_d = [], []
-        for j in range(k):
-            mj = ok & (pos == j)
-            outs_i.append(jnp.max(jnp.where(mj, cand_b, -1), axis=2))
-            if need_dists:
-                outs_d.append(jnp.max(jnp.where(mj, d2, -jnp.inf), axis=2))
-        out_i = jnp.stack(outs_i, axis=-1).reshape(-1, k)
+        out_d, out_i = _first_k_extract(ok, cand_b, d2, k, need_dists)
+        out_i = out_i.reshape(-1, k)
         if need_dists:
-            out_d2 = jnp.stack(outs_d, axis=-1).reshape(-1, k)
-            out_d = jnp.where(
-                out_i >= 0, jnp.sqrt(jnp.maximum(out_d2, 0.0)), jnp.inf
-            )
+            out_d = out_d.reshape(-1, k)
         else:
             out_d = jnp.where(out_i >= 0, 0.0, jnp.inf)
         row_orig = jnp.where(q_valid, index.sorted_idx[q_idx], -1).reshape(-1)
@@ -795,22 +831,9 @@ def _bucket_rows_any_k(
         d2 = jnp.sum(diff * diff, axis=-1).reshape(cell_tile, cap, 27 * cap)
         ok = (cand_ok.reshape(cell_tile, 1, -1) & (d2 <= r2)
               & q_ok[:, :, None])
-        pos = jnp.cumsum(ok.astype(jnp.int32), axis=2) - 1
         ci = cand_i.reshape(cell_tile, 1, -1)
-        outs_i, outs_d = [], []
-        for j in range(k):
-            mj = ok & (pos == j)
-            outs_i.append(jnp.max(jnp.where(mj, ci, -1), axis=2))
-            if need_dists:
-                outs_d.append(jnp.max(jnp.where(mj, d2, -jnp.inf), axis=2))
-        out_i = jnp.stack(outs_i, axis=-1).reshape(-1, k)
-        if need_dists:
-            out_d2 = jnp.stack(outs_d, axis=-1).reshape(-1, k)
-            out_d = jnp.where(
-                out_i >= 0, jnp.sqrt(jnp.maximum(out_d2, 0.0)), jnp.inf)
-        else:
-            out_d = jnp.where(out_i >= 0, 0.0, jnp.inf)
-        return out_d, out_i, q_i.reshape(-1)
+        out_d, out_i = _first_k_extract(ok, ci, d2, k, need_dists)
+        return out_d.reshape(-1, k), out_i.reshape(-1, k), q_i.reshape(-1)
 
     d_t, i_t, rows_t = jax.lax.map(tile, jnp.arange(nt),
                                    batch_size=min(8, nt))
@@ -904,23 +927,8 @@ def _point_tiled_any_k(
         diff = cand - qf[:, None, :]
         d2 = jnp.sum(diff * diff, axis=-1)  # [pt, 27cap]
         ok = c_valid.reshape(pt_tile, -1) & (d2 <= r2) & q_live[:, None]
-        pos = jnp.cumsum(ok.astype(jnp.int32), axis=1) - 1
         cand_orig = index.sorted_idx[flat_idx]  # [pt, 27cap]
-        outs_i, outs_d = [], []
-        for j in range(k):
-            mj = ok & (pos == j)
-            outs_i.append(jnp.max(jnp.where(mj, cand_orig, -1), axis=1))
-            if need_dists:
-                outs_d.append(jnp.max(jnp.where(mj, d2, -jnp.inf), axis=1))
-        out_i = jnp.stack(outs_i, axis=-1)  # [pt, k]
-        if need_dists:
-            out_d2 = jnp.stack(outs_d, axis=-1)
-            out_d = jnp.where(
-                out_i >= 0, jnp.sqrt(jnp.maximum(out_d2, 0.0)), jnp.inf
-            )
-        else:
-            out_d = jnp.where(out_i >= 0, 0.0, jnp.inf)
-        return out_d, out_i
+        return _first_k_extract(ok, cand_orig, d2, k, need_dists)
 
     d_t, i_t = jax.lax.map(tile, jnp.arange(nt), batch_size=min(8, nt))
     i_sorted = i_t.reshape(-1, k)[:n]
@@ -983,9 +991,12 @@ def grid_self_radius_knn(
                           & (sc < _INT32_MAX)))
     if not sort:
         cell_tile = max(cell_tile, 1024)
-    nc_cap = cell_tile
+    nc_cap = 64
     while nc_cap < n_cells:
         nc_cap *= 2
+    # small clouds: don't pad a handful of occupied cells up to a full tile
+    # (the [cell_tile, cap, 27·cap] tensors would dominate compile+run)
+    cell_tile = min(cell_tile, nc_cap)
     if sort:
         return _cell_blocked_query(index, radius, k, nc_cap, cap, cell_tile)
     # bucket-row path when the dense cell grid fits a LUT (pow2 to bound
@@ -996,6 +1007,7 @@ def grid_self_radius_knn(
         while dense_cap < dense:
             dense_cap *= 2
         return _bucket_rows_any_k(index, radius, k, nc_cap, cap, dense_cap,
+                                  cell_tile=min(cell_tile, 512),
                                   need_dists=need_dists)
     return _cell_blocked_any_k(index, radius, k, nc_cap, cap, cell_tile,
                                need_dists=need_dists)
