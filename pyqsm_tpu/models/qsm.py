@@ -446,12 +446,18 @@ def sphere_following_qsm(
     max_cylinders: int = 2048,
     seed: int = 0,
     wave_size: int = 4,
+    chain_steps: int = 24,
+    _resume: dict | None = None,
 ) -> QSMResult:
     """Run the sphere-following walk from a seed front until exhaustion.
 
     ``wave_size``: fronts processed per fused dispatch (padded with dead
     fronts so the kernel compiles once); contested claims go to the earliest
-    front in the wave, mirroring the reference's serial visit order."""
+    front in the wave, mirroring the reference's serial visit order.
+
+    ``_resume``: continuation state from ``sphere_qsm_forest``'s batched
+    climb phase — dict(found, branch_order, queue, cylinders,
+    order_updates, steps); seeds are ignored when given."""
     if sphere is None:
         sphere = SphereConfig()
     if dbscan_cfg is None:
@@ -490,89 +496,46 @@ def sphere_following_qsm(
         out[:k] = np.asarray(idx_arr[:k], np.int32)
         return jnp.asarray(out), jnp.asarray(out >= 0)
 
-    found = jnp.zeros(n, dtype=bool)
-    found = found.at[jnp.maximum(seed_idx, 0)].set(seed_valid)
-    branch_order = jnp.full(n, -1, jnp.int32)
-    branch_order = branch_order.at[jnp.maximum(seed_idx, 0)].set(
-        jnp.where(seed_valid, 0, -1)
-    )
+    # the chain kernel's front buffer is block_size wide — normalise the
+    # caller's seed-front width to it (extra seeds beyond cap are dropped)
+    if seed_idx.shape[0] != p:
+        seed_idx, seed_valid = pad_front(
+            np.asarray(jnp.where(seed_valid, seed_idx, -1))[
+                np.asarray(seed_valid)])
 
-    queue: list[Front] = [Front(seed_idx, seed_valid, float(initial_radius), 0, -1)]
-    cyls: list[dict] = []
-    steps = 0
+    if _resume is None:
+        found = jnp.zeros(n, dtype=bool)
+        found = found.at[jnp.maximum(seed_idx, 0)].set(seed_valid)
+        branch_order = jnp.full(n, -1, jnp.int32)
+        branch_order = branch_order.at[jnp.maximum(seed_idx, 0)].set(
+            jnp.where(seed_valid, 0, -1)
+        )
+        queue: list[Front] = [
+            Front(seed_idx, seed_valid, float(initial_radius), 0, -1)]
+        cyls: list[dict] = []
+        order_updates: list[tuple[np.ndarray, int]] = []
+        steps = 0
+    else:
+        found = _resume["found"]
+        branch_order = _resume.get(
+            "branch_order", jnp.full(n, -1, jnp.int32))
+        queue = list(_resume["queue"])
+        cyls = list(_resume.get("cylinders", []))
+        order_updates = list(_resume.get("order_updates", []))
+        steps = int(_resume.get("steps", 0))
 
     wave_size = max(int(wave_size), 1)
-    order_updates: list[tuple[np.ndarray, int]] = []
 
     def process_front(last_radius, branch_order, cyl_id, good_fit,
                       lab_np, idx_np, nv_np, block_np, k_km):
-        """Host fragmentation policy for one front's new points: k-means
-        sweep on bad fits, centroid merge, noise re-attach, children
-        enqueue. Shared by the wave path and the chain stop step."""
-        n_new = int(nv_np.sum())
-        if n_new < sphere.min_contained_points:
-            return
-        if not good_fit:
-            # bad fit: the reference switches to a k-means sweep
-            # (branches likely split) — one fused dispatch + one readback
-            sweep_lab, sweep_score = jax.device_get(_split_kmeans_sweep(
-                points, jnp.asarray(idx_np), jnp.asarray(nv_np), k_km))
-            bi = int(np.argmax(sweep_score))
-            if float(sweep_score[bi]) > 0.4:
-                lab_np = np.asarray(sweep_lab[bi])
-        # merge clusters whose centroids are within branch scale of each
-        # other: arc fragments of one ring are one branch, not a split
-        lab_np = _merge_close_clusters(
-            block_np, lab_np,
-            merge_dist=max(2.2 * last_radius, 0.15),
-        )
-        usable = [
-            lab for lab in np.unique(lab_np[lab_np >= 0])
-            if (lab_np == lab).sum() >= sphere.min_contained_points
-        ]
-        if not usable:
-            # fragmentation fallback: advance with the whole new set as
-            # one front rather than stalling the branch
-            lab_np = np.where(nv_np, 0, -1)
-            usable = [0]
-        else:
-            # re-attach DBSCAN noise to the nearest usable cluster within
-            # branch scale: on laddered (sparse) clouds the split marks
-            # shell stragglers noise, and dropping them starves the walk
-            noise = nv_np & (lab_np < 0)
-            if noise.any():
-                cents = np.stack([
-                    block_np[lab_np == lab].mean(axis=0) for lab in usable
-                ])
-                dd = np.linalg.norm(
-                    block_np[noise][:, None, :] - cents[None, :, :], axis=-1)
-                nearest = np.argmin(dd, axis=1)
-                close = dd[np.arange(len(nearest)), nearest] <= max(
-                    2.2 * last_radius, 0.3)
-                tgt = np.where(close, np.asarray(usable)[nearest], -1)
-                lab_np = lab_np.copy()
-                lab_np[np.flatnonzero(noise)] = tgt
-        for li, lab in enumerate(usable):
-            sel = lab_np == lab
-            rows = idx_np[sel]
-            if len(rows) < sphere.min_contained_points:
-                continue
-            # mean XY distance from the cluster centroid (ref get_radius,
-            # qsm_generation.py:262-272) — host numpy on the prefetched block
-            cb = block_np[sel]
-            cr = float(np.mean(np.hypot(cb[:, 0] - cb[:, 0].mean(),
-                                        cb[:, 1] - cb[:, 1].mean())))
-            cr = min(max(cr, sphere.min_radius), sphere.max_radius)
-            cr = max(cr, last_radius / 2.0)
-            child_order = branch_order + (1 if li > 0 else 0)
-            order_updates.append((rows.copy(), child_order))
-            fidx, fvalid = pad_front(rows)
-            queue.append(Front(fidx, fvalid, cr, child_order, cyl_id))
+        _process_front_policy(
+            points, sphere, pad_front, queue, order_updates,
+            last_radius, branch_order, cyl_id, good_fit,
+            lab_np, idx_np, nv_np, block_np, k_km)
 
-    # buffer bound, not a fixed unroll: the chain while_loop exits as soon
-    # as the front fragments, so a tall trunk rides one dispatch
-    chain_steps = 24
-
+    # chain_steps is a buffer bound, not a fixed unroll: the chain
+    # while_loop exits as soon as the front fragments, so a tall trunk
+    # rides one dispatch
     while queue and steps < max_steps and len(cyls) < max_cylinders:
         if len(queue) == 1 and chain_steps > 1:
             # single live front (trunk/branch climb): advance up to
@@ -687,6 +650,324 @@ def sphere_following_qsm(
     for rows, child_order in order_updates:
         branch_order = branch_order.at[jnp.asarray(rows)].set(child_order)
     return QSMResult(_pack_cylinders(cyls, max_cylinders), found, branch_order, steps)
+
+
+def sphere_qsm_forest(
+    points_t: Array,  # [T, Np, 3] padded per-tree clouds
+    mask_t: Array,  # [T, Np]
+    seed_idx_t: Array,  # [T, P]
+    seed_valid_t: Array,  # [T, P]
+    initial_radius_t,  # [T] floats
+    sphere: SphereConfig | None = None,
+    dbscan_cfg: DBSCANConfig | None = None,
+    block_size: int = 1024,
+    max_steps: int = 512,
+    max_cylinders: int = 2048,
+    seeds: list[int] | None = None,
+    mesh=None,
+    chain_steps: int = 24,
+) -> list[QSMResult]:
+    """Sphere-following QSM over a FOREST: the trunk/branch climb runs as a
+    ``trees``-axis data-parallel batch — every tree's chain advances in ONE
+    fused dispatch per round (vmapped ``_qsm_chain_fused``; with ``mesh``,
+    shard_mapped over the ``trees`` axis), the same DP dimension the batched
+    contraction uses. Fragmented trees fall back to the per-tree wave walk
+    (``sphere_following_qsm(_resume=...)``) for their branch tails.
+
+    Per-tree results are invariant to batching: forest([A, B]) equals
+    forest([A]) + forest([B]) given the same per-tree ``seeds`` (tested).
+
+    Ref: the per-tree outer loop of ``qsm_generation.py:182-316`` — the
+    reference has no multi-tree batching at all (joblib at best,
+    ``pipeline.py:113-116``)."""
+    if sphere is None:
+        sphere = SphereConfig()
+    if dbscan_cfg is None:
+        dbscan_cfg = DBSCANConfig()
+    t_real = points_t.shape[0]
+    p = block_size
+    if seeds is None:
+        seeds = [i for i in range(t_real)]
+
+    # the chain kernel's front buffer is block_size wide — normalise the
+    # caller's seed-front width to it (extra seeds beyond cap are dropped,
+    # matching the single-tree walk's pad_front)
+    pw = seed_idx_t.shape[1]
+    if pw < p:
+        seed_idx_t = jnp.pad(seed_idx_t, ((0, 0), (0, p - pw)),
+                             constant_values=-1)
+        seed_valid_t = jnp.pad(seed_valid_t, ((0, 0), (0, p - pw)))
+    elif pw > p:
+        seed_idx_t = seed_idx_t[:, :p]
+        seed_valid_t = seed_valid_t[:, :p]
+
+    # pad the tree axis so it shards evenly over the mesh
+    t_pad = t_real
+    if mesh is not None:
+        tdev = int(mesh.shape["trees"]) if hasattr(mesh, "shape") else 1
+        t_pad = -(-t_real // tdev) * tdev
+    if t_pad > t_real:
+        z = t_pad - t_real
+        points_t = jnp.concatenate(
+            [points_t, jnp.zeros((z,) + points_t.shape[1:],
+                                 points_t.dtype)])
+        mask_t = jnp.concatenate([mask_t, jnp.zeros((z,) + mask_t.shape[1:],
+                                                    bool)])
+        seed_idx_t = jnp.concatenate(
+            [seed_idx_t, jnp.full((z, seed_idx_t.shape[1]), -1, jnp.int32)])
+        seed_valid_t = jnp.concatenate(
+            [seed_valid_t, jnp.zeros((z, seed_valid_t.shape[1]), bool)])
+        initial_radius_t = list(initial_radius_t) + [1.0] * z
+
+    T = t_pad
+    n = points_t.shape[1]
+
+    # per-tree eps floor (same rule as the single-tree walk)
+    import dataclasses
+
+    from pyqsm_tpu.ops.neighbors import knn as _knn
+
+    eps_list = []
+    for i in range(T):
+        if i >= t_real:
+            eps_list.append(dbscan_cfg.epsilon)
+            continue
+        m_np = np.asarray(mask_t[i])
+        live = np.flatnonzero(m_np)
+        if len(live) == 0:
+            eps_list.append(dbscan_cfg.epsilon)
+            continue
+        stride = max(len(live) // 2048, 1)
+        sq = points_t[i][jnp.asarray(live[::stride][:2048])]
+        d2, _ = _knn(sq, points_t[i], 2, point_mask=mask_t[i])
+        nn_d = float(jnp.nanmean(jnp.where(jnp.isfinite(d2[:, 1]),
+                                           d2[:, 1], jnp.nan)))
+        eps_list.append(max(dbscan_cfg.epsilon, 2.5 * nn_d))
+    eps_t = jnp.asarray(eps_list, jnp.float32)
+
+    def chain_one(pts, msk, fnd, fidx, fvalid, keys, lr, eps):
+        return _qsm_chain_fused(
+            pts, msk, fnd, fidx, fvalid, keys, lr,
+            threshold=0.04, radius_multiplier=sphere.radius_multiplier,
+            min_radius=sphere.min_radius, max_radius=sphere.max_radius,
+            eps=eps, min_pts=dbscan_cfg.min_neighbors,
+            min_contained=sphere.min_contained_points,
+            bad_fit_radius_factor=sphere.bad_fit_radius_factor,
+            cap=p, chain_steps=chain_steps,
+        )
+
+    chain_batched = jax.vmap(chain_one)
+    if mesh is not None:
+        from jax.sharding import PartitionSpec as P
+        from jax import shard_map
+
+        chain_batched = jax.jit(shard_map(
+            chain_batched, mesh=mesh,
+            in_specs=(P("trees"),) * 8,
+            out_specs=jax.tree.map(lambda _: P("trees"),
+                                   jax.eval_shape(
+                                       jax.vmap(chain_one), points_t, mask_t,
+                                       jnp.zeros((T, n), bool),
+                                       seed_idx_t, seed_valid_t,
+                                       jnp.zeros((T, chain_steps, 2),
+                                                 jnp.uint32),
+                                       jnp.ones(T, jnp.float32), eps_t)),
+            check_vma=False,
+        ))
+
+    # seed state
+    found_t = jax.vmap(
+        lambda f, si, sv: f.at[jnp.maximum(si, 0)].set(
+            sv | f[jnp.maximum(si, 0)])
+    )(jnp.zeros((T, n), bool), seed_idx_t, seed_valid_t)
+    order0 = [
+        np.where(
+            np.asarray(
+                jnp.zeros(n, jnp.int32).at[jnp.maximum(seed_idx_t[i], 0)].set(
+                    seed_valid_t[i].astype(jnp.int32))) > 0, 0, -1
+        ).astype(np.int32)
+        for i in range(T)
+    ]
+
+    def pad_front_for(_):
+        def pad_front(idx_arr: np.ndarray):
+            k = min(len(idx_arr), p)
+            out = np.full(p, -1, np.int32)
+            out[:k] = np.asarray(idx_arr[:k], np.int32)
+            return jnp.asarray(out), jnp.asarray(out >= 0)
+        return pad_front
+
+    key_state = [jax.random.PRNGKey(sd) for sd in seeds] + [
+        jax.random.PRNGKey(10**6 + i) for i in range(T - t_real)]
+    climbing = [bool(seed_valid_t[i].any()) and i < t_real for i in range(T)]
+    queues: list[list[Front]] = [[] for _ in range(T)]
+    cyls_t: list[list[dict]] = [[] for _ in range(T)]
+    order_up_t: list[list] = [[] for _ in range(T)]
+    parents = [-1] * T
+    orders = [0] * T
+    steps_t = [0] * T
+    km_keys = [None] * T
+
+    fidx_t = seed_idx_t
+    fvalid_t = jnp.where(jnp.asarray(climbing)[:, None], seed_valid_t, False)
+    lr_t = jnp.asarray(np.asarray(initial_radius_t, np.float32))
+
+    max_rounds = -(-max_steps // chain_steps) + 1
+    for _ in range(max_rounds):
+        if not any(climbing):
+            break
+        keys_rows = []
+        for i in range(T):
+            key_state[i], k_fit, k_km = jax.random.split(key_state[i], 3)
+            km_keys[i] = k_km
+            keys_rows.append(jax.random.split(k_fit, chain_steps))
+        keys_t = jnp.stack(keys_rows)
+        found_t, st_d, f_idx_d, f_valid_d, f_lr_d = chain_batched(
+            points_t, mask_t, found_t, fidx_t, fvalid_t, keys_t, lr_t, eps_t)
+        st, f_idx, f_valid, f_lr = jax.device_get(
+            (st_d, f_idx_d, f_valid_d, f_lr_d))
+
+        fidx_host = np.asarray(fidx_t).copy()
+        fvalid_host = np.asarray(fvalid_t).copy()
+        lr_host = np.asarray(lr_t).copy()
+        for i in range(T):
+            if not climbing[i]:
+                continue
+            parent, order = parents[i], orders[i]
+            stopped = False
+            pad_front = pad_front_for(i)
+            for s in range(chain_steps):
+                if int(st["fvalid"][i, s].sum()) == 0:
+                    stopped = True
+                    break
+                steps_t[i] += 1
+                good = bool(st["good"][i, s])
+                if good:
+                    cyls_t[i].append(dict(
+                        center=st["center"][i, s], axis=st["axis"][i, s],
+                        height=float(st["height"][i, s]),
+                        radius=float(st["radius"][i, s]),
+                        branch_order=order, parent=parent,
+                    ))
+                    parent = len(cyls_t[i]) - 1
+                if bool(st["advanced"][i, s]):
+                    rows = st["new_idx"][i, s][st["new_valid"][i, s]]
+                    if len(rows):
+                        order_up_t[i].append((rows.copy(), order))
+                    continue
+                _process_front_policy(
+                    points_t[i], sphere, pad_front, queues[i], order_up_t[i],
+                    float(st["lr"][i, s]), order, parent, good,
+                    st["labels"][i, s].copy(), st["new_idx"][i, s],
+                    st["new_valid"][i, s], st["blocks"][i, s], km_keys[i])
+                stopped = True
+                break
+            parents[i], orders[i] = parent, order
+            if (not stopped and f_valid[i].any()
+                    and steps_t[i] < max_steps
+                    and len(cyls_t[i]) < max_cylinders):
+                fidx_host[i] = f_idx[i]
+                fvalid_host[i] = f_valid[i]
+                lr_host[i] = f_lr[i]
+            else:
+                climbing[i] = False
+                fvalid_host[i] = False
+        fidx_t = jnp.asarray(fidx_host)
+        fvalid_t = jnp.asarray(fvalid_host)
+        lr_t = jnp.asarray(lr_host)
+
+    # per-tree continuation for fragmented trees; direct packaging otherwise
+    results: list[QSMResult] = []
+    for i in range(t_real):
+        bo = jnp.asarray(order0[i])
+        if queues[i] and steps_t[i] < max_steps:
+            res = sphere_following_qsm(
+                points_t[i], mask_t[i],
+                seed_idx_t[i], seed_valid_t[i], float(lr_t[i]),
+                sphere=sphere, dbscan_cfg=dbscan_cfg, block_size=p,
+                max_steps=max_steps, max_cylinders=max_cylinders,
+                seed=seeds[i] if i < len(seeds) else i,
+                chain_steps=chain_steps,
+                _resume=dict(found=found_t[i], branch_order=bo,
+                             queue=queues[i], cylinders=cyls_t[i],
+                             order_updates=order_up_t[i], steps=steps_t[i]),
+            )
+            results.append(res)
+        else:
+            for rows, child_order in order_up_t[i]:
+                bo = bo.at[jnp.asarray(rows)].set(child_order)
+            results.append(QSMResult(
+                _pack_cylinders(cyls_t[i], max_cylinders),
+                found_t[i], bo, steps_t[i]))
+    return results
+
+
+def _process_front_policy(points, sphere, pad_front, queue, order_updates,
+                          last_radius, branch_order, cyl_id, good_fit,
+                          lab_np, idx_np, nv_np, block_np, k_km):
+    """Host fragmentation policy for one front's new points: k-means sweep
+    on bad fits, centroid merge, noise re-attach, children enqueued onto
+    ``queue``. Shared by the wave path, the chain stop step, and the
+    batched forest climb (``sphere_qsm_forest``)."""
+    n_new = int(nv_np.sum())
+    if n_new < sphere.min_contained_points:
+        return
+    if not good_fit:
+        # bad fit: the reference switches to a k-means sweep
+        # (branches likely split) — one fused dispatch + one readback
+        sweep_lab, sweep_score = jax.device_get(_split_kmeans_sweep(
+            points, jnp.asarray(idx_np), jnp.asarray(nv_np), k_km))
+        bi = int(np.argmax(sweep_score))
+        if float(sweep_score[bi]) > 0.4:
+            lab_np = np.asarray(sweep_lab[bi])
+    # merge clusters whose centroids are within branch scale of each
+    # other: arc fragments of one ring are one branch, not a split
+    lab_np = _merge_close_clusters(
+        block_np, lab_np,
+        merge_dist=max(2.2 * last_radius, 0.15),
+    )
+    usable = [
+        lab for lab in np.unique(lab_np[lab_np >= 0])
+        if (lab_np == lab).sum() >= sphere.min_contained_points
+    ]
+    if not usable:
+        # fragmentation fallback: advance with the whole new set as
+        # one front rather than stalling the branch
+        lab_np = np.where(nv_np, 0, -1)
+        usable = [0]
+    else:
+        # re-attach DBSCAN noise to the nearest usable cluster within
+        # branch scale: on laddered (sparse) clouds the split marks
+        # shell stragglers noise, and dropping them starves the walk
+        noise = nv_np & (lab_np < 0)
+        if noise.any():
+            cents = np.stack([
+                block_np[lab_np == lab].mean(axis=0) for lab in usable
+            ])
+            dd = np.linalg.norm(
+                block_np[noise][:, None, :] - cents[None, :, :], axis=-1)
+            nearest = np.argmin(dd, axis=1)
+            close = dd[np.arange(len(nearest)), nearest] <= max(
+                2.2 * last_radius, 0.3)
+            tgt = np.where(close, np.asarray(usable)[nearest], -1)
+            lab_np = lab_np.copy()
+            lab_np[np.flatnonzero(noise)] = tgt
+    for li, lab in enumerate(usable):
+        sel = lab_np == lab
+        rows = idx_np[sel]
+        if len(rows) < sphere.min_contained_points:
+            continue
+        # mean XY distance from the cluster centroid (ref get_radius,
+        # qsm_generation.py:262-272) — host numpy on the prefetched block
+        cb = block_np[sel]
+        cr = float(np.mean(np.hypot(cb[:, 0] - cb[:, 0].mean(),
+                                    cb[:, 1] - cb[:, 1].mean())))
+        cr = min(max(cr, sphere.min_radius), sphere.max_radius)
+        cr = max(cr, last_radius / 2.0)
+        child_order = branch_order + (1 if li > 0 else 0)
+        order_updates.append((rows.copy(), child_order))
+        fidx, fvalid = pad_front(rows)
+        queue.append(Front(fidx, fvalid, cr, child_order, cyl_id))
 
 
 def _merge_close_clusters(

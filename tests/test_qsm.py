@@ -200,3 +200,90 @@ def test_walk_survives_coarse_resolution(rng):
                              0.3, sphere=cfg.sphere, dbscan_cfg=cfg.dbscan,
                              max_steps=32)
     assert int(q.cylinders.count()) >= 8
+
+
+def _forest_inputs(n_trees, n_per=3000):
+    """Stacked per-tree clouds (trunks with different radii) + seed fronts."""
+    import numpy as np
+
+    pts_l, seed_l = [], []
+    for i in range(n_trees):
+        pts = synthetic_branch(n_per, radius=0.25 + 0.05 * i, length=6.0,
+                               seed=10 + i)
+        rows = np.flatnonzero(pts[:, 2] < 0.5)
+        seed = np.full(512, -1, np.int32)
+        seed[: min(len(rows), 512)] = rows[:512]
+        pts_l.append(pts)
+        seed_l.append(seed)
+    points_t = jnp.asarray(np.stack(pts_l))
+    mask_t = jnp.ones((n_trees, n_per), bool)
+    seed_idx_t = jnp.asarray(np.stack(seed_l))
+    seed_valid_t = seed_idx_t >= 0
+    radii = [0.25 + 0.05 * i for i in range(n_trees)]
+    return points_t, mask_t, seed_idx_t, seed_valid_t, radii
+
+
+def test_forest_batching_invariance():
+    """forest([A, B]) per-tree results equal forest([A]) + forest([B]) with
+    the same per-tree seeds — the trees-axis batch is pure DP."""
+    from pyqsm_tpu.models.qsm import sphere_qsm_forest
+
+    points_t, mask_t, seed_idx_t, seed_valid_t, radii = _forest_inputs(2)
+    batch = sphere_qsm_forest(points_t, mask_t, seed_idx_t, seed_valid_t,
+                              radii, block_size=512, max_steps=48,
+                              seeds=[7, 8])
+    singles = [
+        sphere_qsm_forest(points_t[i:i + 1], mask_t[i:i + 1],
+                          seed_idx_t[i:i + 1], seed_valid_t[i:i + 1],
+                          radii[i:i + 1], block_size=512, max_steps=48,
+                          seeds=[[7, 8][i]])[0]
+        for i in range(2)
+    ]
+    for res_b, res_s in zip(batch, singles):
+        assert int(res_b.cylinders.count()) == int(res_s.cylinders.count())
+        np.testing.assert_array_equal(np.asarray(res_b.found),
+                                      np.asarray(res_s.found))
+        mb = np.asarray(res_b.cylinders.mask)
+        np.testing.assert_allclose(
+            np.asarray(res_b.cylinders.radius)[mb],
+            np.asarray(res_s.cylinders.radius)[np.asarray(res_s.cylinders.mask)],
+            rtol=1e-5)
+
+
+def test_forest_walks_all_trees():
+    """Every tree in the batch climbs its trunk and recovers its radius."""
+    from pyqsm_tpu.models.qsm import sphere_qsm_forest
+
+    points_t, mask_t, seed_idx_t, seed_valid_t, radii = _forest_inputs(3)
+    results = sphere_qsm_forest(points_t, mask_t, seed_idx_t, seed_valid_t,
+                                radii, block_size=512, max_steps=48)
+    assert len(results) == 3
+    for i, res in enumerate(results):
+        n_cyl = int(res.cylinders.count())
+        assert n_cyl >= 2, f"tree {i}: {n_cyl} cylinders"
+        rr = np.asarray(res.cylinders.radius)[np.asarray(res.cylinders.mask)]
+        np.testing.assert_allclose(rr, radii[i], atol=0.09)
+        assert float(jnp.sum(res.found)) / mask_t.shape[1] > 0.4
+
+
+def test_forest_sharded_over_mesh():
+    """The climb runs shard_mapped over a trees-axis mesh and matches the
+    unsharded forest."""
+    import jax
+    from jax.sharding import Mesh
+    from pyqsm_tpu.models.qsm import sphere_qsm_forest
+
+    if len(jax.devices()) < 2:
+        pytest.skip("needs >=2 devices")
+    points_t, mask_t, seed_idx_t, seed_valid_t, radii = _forest_inputs(2)
+    mesh = Mesh(np.asarray(jax.devices()[:2]).reshape(2, 1),
+                ("trees", "points"))
+    got = sphere_qsm_forest(points_t, mask_t, seed_idx_t, seed_valid_t,
+                            radii, block_size=512, max_steps=48,
+                            seeds=[7, 8], mesh=mesh)
+    ref = sphere_qsm_forest(points_t, mask_t, seed_idx_t, seed_valid_t,
+                            radii, block_size=512, max_steps=48, seeds=[7, 8])
+    for g, r in zip(got, ref):
+        assert int(g.cylinders.count()) == int(r.cylinders.count())
+        np.testing.assert_array_equal(np.asarray(g.found),
+                                      np.asarray(r.found))
