@@ -53,6 +53,7 @@ class Grid3D(NamedTuple):
     #   gather per candidate (TPU gather cost scales with index count, not
     #   row bytes: 64B rows ride the same DMA as 12B rows)
     n_residual: int = 0  # static count of live residual ids
+    n_occupied: int = 0  # static count of occupied cells (wavefront bound)
 
     @property
     def n_cells(self) -> int:
@@ -219,6 +220,7 @@ def build_grid3d(
             np.zeros((len(tris), 6)),
         ], axis=1).astype(np.float32)),
         n_residual=int(len(residual_ids)),
+        n_occupied=int(occ.sum()),
     )
 
 
@@ -507,6 +509,420 @@ def grid_cast(
         uv=jnp.concatenate([h.uv for h in chunks]),
         count=jnp.concatenate([h.count for h in chunks]),
     )
+
+
+# ---------------------------------------------------------------------------
+# wavefront (cell-major) casting: the high-throughput unstructured path
+# ---------------------------------------------------------------------------
+#
+# The DDA path above is exact but gather-bound: every traversal step gathers
+# [rays, cap] triangle rows from HBM (measured 0.12 Mrays/s at 60k tris on
+# v5e). The wavefront path splits the cast:
+#   pass A  enumerate, per ray, the occupied cells it crosses (u8 skip-table
+#           gathers + vector math only — no triangle data touched);
+#   pass B  sort the (ray, cell) pairs by cell and test CELL-MAJOR blocks:
+#           each block loads ONE cell's triangle rows (a [cap, 16] gather,
+#           amortised over its whole ray block) and runs a dense
+#           [block, cap] Möller–Trumbore — the same dense-block shape that
+#           carries the structured sun/pinhole paths (ops/raygrid.py).
+# Rays that visit more than `visits` occupied cells resume in the next
+# round (host loop, one compile). Exactness matches grid_cast: closest hits
+# are confirmed against the covered march interval before a ray retires,
+# and crossing counts deduplicate by hit-point cell assignment.
+
+
+@partial(jax.jit, static_argnames=(
+    "cell", "nx", "ny", "nz", "ray_tile", "visits", "max_steps",
+    "first_round"))
+def _enumerate_visits(
+    origins: Array, dirs: Array, t_start: Array, alive_in: Array,
+    c_start: Array,
+    lo: Array, cell: float, nx: int, ny: int, nz: int, skip_tab: Array,
+    ray_tile: int, visits: int, max_steps: int, first_round: bool = True,
+) -> tuple[Array, Array, Array, Array]:
+    """March each ray from ``t_start`` and record up to ``visits`` occupied
+    cell ids. Returns (visit_cids [R, V] i32 (-1 pad), t_covered [R] march
+    parameter at the end of the recorded segment, more [R] bool — ray still
+    inside the grid with cells left to visit, c_next [R, 3] resume cell).
+
+    On resume rounds (``first_round=False``) the walk continues from the
+    carried ``c_start`` cell — reconstructing the cell from the fp position
+    can land back in the previous cell and double-count its crossings."""
+    r = origins.shape[0]
+    dims = jnp.array([nx, ny, nz], jnp.int32)
+    hi = lo + dims.astype(jnp.float32) * cell
+    rem = (-r) % ray_tile
+    o_all = jnp.pad(origins.astype(jnp.float32), ((0, rem), (0, 0)))
+    d_all = jnp.pad(dirs.astype(jnp.float32), ((0, rem), (0, 0)),
+                    constant_values=1.0)
+    t_all = jnp.pad(t_start.astype(jnp.float32), (0, rem))
+    a_all = jnp.pad(alive_in, (0, rem))
+    c_all = jnp.pad(c_start.astype(jnp.int32), ((0, rem), (0, 0)))
+
+    def tile(args):
+        o, d, ts, a_in, c_in = args
+        inv_d = jnp.where(d != 0, 1.0 / jnp.where(d == 0, 1.0, d), jnp.inf)
+        t0 = (lo[None, :] - o) * inv_d
+        t1 = (hi[None, :] - o) * inv_d
+        inside0 = (o >= lo[None, :]) & (o <= hi[None, :])
+        tmin_ax = jnp.where(d != 0, jnp.minimum(t0, t1),
+                            jnp.where(inside0, -jnp.inf, jnp.inf))
+        tmax_ax = jnp.where(d != 0, jnp.maximum(t0, t1),
+                            jnp.where(inside0, jnp.inf, -jnp.inf))
+        t_enter = jnp.maximum(jnp.maximum(jnp.max(tmin_ax, 1), 0.0), ts)
+        t_exit_grid = jnp.min(tmax_ax, 1)
+        alive0 = a_in & (t_enter <= t_exit_grid)
+
+        if first_round:
+            pos = o + (t_enter[:, None] + 1e-6) * d
+            c0 = jnp.clip(
+                jnp.floor((pos - lo[None, :]) / cell).astype(jnp.int32),
+                0, dims[None, :] - 1)
+        else:
+            c0 = jnp.clip(c_in, 0, dims[None, :] - 1)
+        step = jnp.where(d > 0, 1, jnp.where(d < 0, -1, 0)).astype(jnp.int32)
+        t_delta = jnp.where(d != 0, cell * jnp.abs(inv_d), jnp.inf)
+        min_td = jnp.min(t_delta, 1)
+
+        def t_max_of(c):
+            nb = lo[None, :] + jnp.where(
+                d >= 0, (c + 1).astype(jnp.float32), c.astype(jnp.float32)
+            ) * cell
+            return jnp.where(d != 0, (nb - o) * inv_d, jnp.inf)
+
+        def cell_id(c):
+            return (c[:, 0] * ny + c[:, 1]) * nz + c[:, 2]
+
+        def skip_of(c, alive):
+            return jnp.where(
+                alive, skip_tab[jnp.where(alive, cell_id(c), 0)], 0
+            ).astype(jnp.int32)
+
+        def dda_step(c, move):
+            tm = t_max_of(c)
+            t_exit = jnp.min(tm, 1)
+            ax = jnp.argmin(tm, 1)
+            onehot = jax.nn.one_hot(ax, 3, dtype=jnp.int32)
+            c_new = c + onehot * step
+            oob = jnp.any((c_new < 0) | (c_new >= dims[None, :]), 1)
+            return (
+                jnp.where(move[:, None],
+                          jnp.clip(c_new, 0, dims[None, :] - 1), c),
+                t_exit,
+                jnp.logical_not(move & oob),
+            )
+
+        rt = o.shape[0]
+        state = dict(
+            c=c0, t_cur=t_enter, alive=alive0, k=skip_of(c0, alive0),
+            nrec=jnp.zeros(rt, jnp.int32),
+            vis=jnp.full((rt, visits), -1, jnp.int32),
+            t_cov=jnp.where(alive0, t_enter, ts),
+            it=jnp.int32(0),
+        )
+
+        def cond(s):
+            return jnp.any(s["alive"] & (s["nrec"] < visits)) & (
+                s["it"] < max_steps)
+
+        def body(s):
+            # rays whose visit quota is full FREEZE in place (their c/t_cur
+            # is the resume state for the next round); only `act` rays move
+            act0 = s["alive"] & (s["nrec"] < visits)
+
+            # skip phase: march every active ray to its next occupied cell
+            def skip_cond(ss):
+                return jnp.any(ss["act"] & (ss["k"] > 0)) & (
+                    ss["jt"] < max_steps)
+
+            def skip_body(ss):
+                c, t_cur, act, k = ss["c"], ss["t_cur"], ss["act"], ss["k"]
+                move = act & (k > 0)
+                jump = move & (k >= 2)
+                tau = (k - 1).astype(jnp.float32) * min_td
+                t_jump = t_cur + tau
+                pj = o + t_jump[:, None] * d
+                c_jump = jnp.clip(
+                    jnp.floor((pj - lo[None, :]) / cell).astype(jnp.int32),
+                    0, dims[None, :] - 1)
+                c_step, t_exit, ok_step = dda_step(c, move & ~jump)
+                c_new = jnp.where(jump[:, None], c_jump, c_step)
+                t_new = jnp.where(jump, t_jump,
+                                  jnp.where(move, t_exit, t_cur))
+                dead = (jump & (t_new >= t_exit_grid)) | ~ok_step
+                act_new = act & ~dead
+                return dict(
+                    c=c_new, t_cur=t_new, act=act_new,
+                    k=skip_of(c_new, act_new), jt=ss["jt"] + 1,
+                )
+
+            sk = jax.lax.while_loop(
+                skip_cond, skip_body,
+                dict(c=s["c"], t_cur=s["t_cur"], act=act0,
+                     k=jnp.where(act0, s["k"], 0), jt=jnp.int32(0)),
+            )
+            c = sk["c"]
+            died_skip = act0 & ~sk["act"]
+            alive = s["alive"] & ~died_skip
+
+            # record the occupied cell reached by each still-active ray
+            rec = sk["act"]
+            cid = jnp.where(rec, cell_id(c), -1)
+            slot = jax.lax.broadcasted_iota(jnp.int32, (rt, visits), 1)
+            vis = jnp.where(
+                rec[:, None] & (slot == s["nrec"][:, None]),
+                cid[:, None], s["vis"])
+            nrec = s["nrec"] + rec.astype(jnp.int32)
+
+            # advance past the recorded cell; its exit closes the covered
+            # march interval. Frozen rays keep c/t_cur untouched.
+            c_new, t_exit, ok_step = dda_step(c, rec)
+            t_cov = jnp.where(rec, t_exit, s["t_cov"])
+            alive = alive & ok_step
+            act_next = alive & rec
+            return dict(
+                c=c_new, t_cur=jnp.where(rec, t_exit, sk["t_cur"]),
+                alive=alive, k=skip_of(c_new, act_next),
+                nrec=nrec, vis=vis, t_cov=t_cov, it=s["it"] + 1,
+            )
+
+        s = jax.lax.while_loop(cond, body, state)
+        # rays that exited the grid are fully covered
+        t_cov = jnp.where(s["alive"], s["t_cov"], jnp.inf)
+        return s["vis"], t_cov, s["alive"], s["c"]
+
+    nt = o_all.shape[0] // ray_tile
+    vis_t, cov_t, more_t, c_t = jax.lax.map(
+        tile, (o_all.reshape(nt, ray_tile, 3), d_all.reshape(nt, ray_tile, 3),
+               t_all.reshape(nt, ray_tile), a_all.reshape(nt, ray_tile),
+               c_all.reshape(nt, ray_tile, 3)))
+    return (vis_t.reshape(-1, visits)[:r], cov_t.reshape(-1)[:r],
+            more_t.reshape(-1)[:r], c_t.reshape(-1, 3)[:r])
+
+
+@partial(jax.jit, static_argnames=("block", "nb_cap", "batch"))
+def _cell_major_test(
+    origins: Array, dirs: Array, visit_cids: Array,
+    tri_of_slot: Array, packed: Array,
+    lo: Array, cell_size: Array, dims: Array,
+    block: int, nb_cap: int, batch: int = 32,
+) -> tuple[Array, Array, Array, Array, Array]:
+    """Test every (ray, visited cell) pair, CELL-MAJOR. Returns per-ray
+    (t, tri, u, v, count) best-of-round. The sort puts each cell's rays in
+    a contiguous run; blocks of ``block`` pairs never span two cells, so one
+    [cap, 16] triangle fetch serves a dense [block, cap] MT batch."""
+    r, v = visit_cids.shape
+    p = r * v
+    big = jnp.int32(np.iinfo(np.int32).max)
+
+    keys = jnp.where(visit_cids >= 0, visit_cids, big).reshape(-1)
+    ray_of = jnp.repeat(jnp.arange(r, dtype=jnp.int32), v)
+    order = jnp.argsort(keys)
+    skeys = keys[order]
+    srays = ray_of[order]
+    idx = jnp.arange(p, dtype=jnp.int32)
+
+    first = jnp.concatenate([jnp.array([True]), skeys[1:] != skeys[:-1]])
+    seg_start = jax.lax.cummax(jnp.where(first, idx, -1))
+    pos_in_seg = idx - seg_start
+    first_blk = first | (pos_in_seg % block == 0)
+    blk_id = jnp.cumsum(first_blk.astype(jnp.int32)) - 1  # [p]
+    blk_start = jax.lax.cummax(jnp.where(first_blk, idx, -1))
+    pos_in_blk = idx - blk_start
+
+    live_pair = skeys < big
+    blk_safe = jnp.where(live_pair, jnp.minimum(blk_id, nb_cap - 1), nb_cap)
+    block_cell = jnp.full(nb_cap + 1, -1, jnp.int32).at[blk_safe].max(
+        jnp.where(live_pair, skeys, -1), mode="drop")[:nb_cap]
+    pair_ray = jnp.full((nb_cap + 1, block), -1, jnp.int32).at[
+        blk_safe, pos_in_blk
+    ].set(jnp.where(live_pair, srays, -1), mode="drop")[:nb_cap]
+
+    nbt = nb_cap // batch
+
+    def tile(ti):
+        sl = lambda a: jax.lax.dynamic_slice_in_dim(a, ti * batch, batch)
+        cells = sl(block_cell)  # [batch]
+        rays = sl(pair_ray)  # [batch, block]
+        slots = tri_of_slot[jnp.maximum(cells, 0)]  # [batch, cap] row gather
+        rows = packed[jnp.maximum(slots, 0)]  # [batch, cap, 16]
+        ok_tri = (slots >= 0) & (cells >= 0)[:, None] & (rows[..., 9] > 0.5)
+        live_ray = rays >= 0
+        rid = jnp.maximum(rays, 0)
+        o = origins[rid]  # [batch, block, 3]
+        d = dirs[rid]
+        tv0 = rows[..., 0:3][:, None, :, :]  # [batch, 1, cap, 3]
+        te1 = rows[..., 3:6][:, None, :, :]
+        te2 = rows[..., 6:9][:, None, :, :]
+        pvec = jnp.cross(d[:, :, None, :], te2)
+        det = jnp.sum(te1 * pvec, -1)  # [batch, block, cap]
+        inv = jnp.where(jnp.abs(det) > _EPS, 1.0 / det, 0.0)
+        tvec = o[:, :, None, :] - tv0
+        u = jnp.sum(tvec * pvec, -1) * inv
+        qvec = jnp.cross(tvec, te1)
+        vv = jnp.sum(d[:, :, None, :] * qvec, -1) * inv
+        tt = jnp.sum(te2 * qvec, -1) * inv
+        hit = ((jnp.abs(det) > _EPS) & (u >= -_EPS) & (vv >= -_EPS)
+               & (u + vv <= 1.0 + _EPS) & (tt > 1e-6)
+               & ok_tri[:, None, :] & live_ray[:, :, None])
+        tt = jnp.where(hit, tt, jnp.inf)
+        # crossing dedupe: count a hit only in the cell owning its hit point
+        p_hit = o[:, :, None, :] + tt[..., None] * d[:, :, None, :]
+        hc = jnp.clip(
+            jnp.floor((p_hit - lo[None, None, None, :]) / cell_size)
+            .astype(jnp.int32), 0, dims[None, None, None, :] - 1)
+        hcid = (hc[..., 0] * dims[1] + hc[..., 1]) * dims[2] + hc[..., 2]
+        in_cell = hit & (hcid == cells[:, None, None])
+        cnt = jnp.sum(in_cell, -1).astype(jnp.int32)  # [batch, block]
+        j = jnp.argmin(tt, -1)
+        tmin = jnp.min(tt, -1)
+        tri_best = jnp.where(
+            jnp.isfinite(tmin),
+            jnp.take_along_axis(
+                jnp.broadcast_to(slots[:, None, :], tt.shape),
+                j[..., None], 2)[..., 0],
+            -1)
+        ub = jnp.take_along_axis(u, j[..., None], 2)[..., 0]
+        vb = jnp.take_along_axis(vv, j[..., None], 2)[..., 0]
+        return tmin, tri_best, ub, vb, cnt
+
+    t_b, tri_b, u_b, v_b, c_b = jax.lax.map(
+        tile, jnp.arange(nbt), batch_size=min(8, nbt))
+
+    # pair results back to (ray, visit) layout: sorted pair i lives at
+    # (blk_id[i], pos_in_blk[i]); clip covers the nb_cap overflow guard
+    flat = (jnp.minimum(blk_id, nb_cap - 1) * block + pos_in_blk)
+    t_sorted = t_b.reshape(-1)[flat]
+    tri_sorted = tri_b.reshape(-1)[flat]
+    u_sorted = u_b.reshape(-1)[flat]
+    v_sorted = v_b.reshape(-1)[flat]
+    c_sorted = c_b.reshape(-1)[flat]
+    overflow = blk_id >= nb_cap  # pairs beyond capacity: nothing tested
+    t_sorted = jnp.where(live_pair & ~overflow, t_sorted, jnp.inf)
+    c_sorted = jnp.where(live_pair & ~overflow, c_sorted, 0)
+
+    inv_order = jnp.argsort(order)
+    t_pair = t_sorted[inv_order].reshape(r, v)
+    tri_pair = tri_sorted[inv_order].reshape(r, v)
+    u_pair = u_sorted[inv_order].reshape(r, v)
+    v_pair = v_sorted[inv_order].reshape(r, v)
+    c_pair = c_sorted[inv_order].reshape(r, v)
+
+    j = jnp.argmin(t_pair, 1)
+    best_t = jnp.min(t_pair, 1)
+    take = lambda a: jnp.take_along_axis(a, j[:, None], 1)[:, 0]
+    best_tri = jnp.where(jnp.isfinite(best_t), take(tri_pair), -1)
+    return (best_t, best_tri, take(u_pair), take(v_pair),
+            jnp.sum(c_pair, 1))
+
+
+def grid_cast_wavefront(
+    grid: Grid3D,
+    origins: Array,
+    dirs: Array,
+    visits: int = 8,
+    block: int = 256,
+    count_all: bool = False,
+    ray_tile: int = 65536,
+    max_rounds: int | None = None,
+) -> Hits:
+    """High-throughput exact casting for ARBITRARY ray bundles (the
+    unstructured path of Embree's ``cast_rays``/``list_intersections``, ref
+    ``viz/ray_casting.py:151-192,262-313``): enumerate visited occupied
+    cells, then test cell-major dense blocks (docstring at the section
+    header). Semantics identical to ``grid_cast``; oracle-tested against it.
+
+    ``visits``: occupied cells covered per round; rays needing more resume
+    in later rounds (each round reuses the same two compiled kernels).
+    """
+    r = origins.shape[0]
+    o = jnp.asarray(origins, jnp.float32)
+    d = jnp.asarray(dirs, jnp.float32)
+    dims = jnp.array([grid.nx, grid.ny, grid.nz], jnp.int32)
+    max_steps = grid.nx + grid.ny + grid.nz + 4
+    if max_rounds is None:
+        max_rounds = -(-max_steps // visits) + 1
+    # exact bound: total blocks = Σ_cells ceil(run/block) ≤ p//block +
+    # #segments (occupied cells + the one dead-pair segment)
+    nb_cap = 256
+    want = (r * visits) // block + max(grid.n_occupied, 1) + 2
+    while nb_cap < want:
+        nb_cap *= 2
+
+    best_t = jnp.full(r, jnp.inf)
+    best_tri = jnp.full(r, -1, jnp.int32)
+    best_u = jnp.zeros(r)
+    best_v = jnp.zeros(r)
+    count = jnp.zeros(r, jnp.int32)
+    t_cur = jnp.zeros(r, jnp.float32)
+    alive = jnp.ones(r, bool)
+    c_resume = jnp.zeros((r, 3), jnp.int32)
+
+    for rnd in range(max_rounds):
+        vis, t_cov, more, c_resume = _enumerate_visits(
+            o, d, t_cur, alive, c_resume,
+            grid.lo, grid.cell, grid.nx, grid.ny, grid.nz, grid.skip,
+            ray_tile=min(ray_tile, max(256, 1 << (r - 1).bit_length())),
+            visits=visits, max_steps=max_steps, first_round=(rnd == 0))
+        t, tri, u, v, cnt = _cell_major_test(
+            o, d, jnp.where(alive[:, None], vis, -1),
+            grid.tri_of_slot, grid.packed,
+            grid.lo, jnp.float32(grid.cell), dims,
+            block=block, nb_cap=nb_cap)
+        better = alive & (t < best_t)
+        best_tri = jnp.where(better, tri, best_tri)
+        best_u = jnp.where(better, u, best_u)
+        best_v = jnp.where(better, v, best_v)
+        best_t = jnp.where(alive, jnp.minimum(best_t, t), best_t)
+        count = count + jnp.where(alive, cnt, 0)
+        # retire: closest hit confirmed inside the covered interval (unless
+        # counting all crossings), or grid exhausted
+        done_hit = jnp.logical_not(count_all) & (best_t <= t_cov + 1e-6)
+        alive = alive & more & jnp.logical_not(done_hit)
+        t_cur = t_cov
+        if not bool(jnp.any(alive)):
+            break
+
+    # residual pass (overflow-spilled triangles) — identical to grid_cast
+    if grid.n_residual > 0:
+        res = grid.residual
+        rt = 8192
+        rem = (-r) % rt
+        o_p = jnp.pad(o, ((0, rem), (0, 0)))
+        d_p = jnp.pad(d, ((0, rem), (0, 0)), constant_values=1.0)
+
+        def rtile(args):
+            ot, dt = args
+            slots = jnp.broadcast_to(res[None, :], (rt, res.shape[0]))
+            tt, u, v = _mt_batch(ot, dt, slots, grid.packed,
+                                 jnp.ones(rt, bool))
+            cnt = jnp.sum(jnp.isfinite(tt), 1).astype(jnp.int32)
+            j = jnp.argmin(tt, 1)
+            tmin = jnp.min(tt, 1)
+            tri = jnp.where(jnp.isfinite(tmin),
+                            jnp.take_along_axis(slots, j[:, None], 1)[:, 0],
+                            -1)
+            ub = jnp.take_along_axis(u, j[:, None], 1)[:, 0]
+            vb = jnp.take_along_axis(v, j[:, None], 1)[:, 0]
+            return tmin, tri, ub, vb, cnt
+
+        ntr = o_p.shape[0] // rt
+        tm, trm, um, vm, cm = jax.lax.map(
+            rtile, (o_p.reshape(ntr, rt, 3), d_p.reshape(ntr, rt, 3)))
+        tm = tm.reshape(-1)[:r]
+        trm = trm.reshape(-1)[:r]
+        um = um.reshape(-1)[:r]
+        vm = vm.reshape(-1)[:r]
+        cm = cm.reshape(-1)[:r]
+        better = tm < best_t
+        best_tri = jnp.where(better, trm, best_tri)
+        best_u = jnp.where(better, um, best_u)
+        best_v = jnp.where(better, vm, best_v)
+        best_t = jnp.minimum(best_t, tm)
+        count = count + cm
+
+    return Hits(t=best_t, tri=best_tri,
+                uv=jnp.stack([best_u, best_v], 1), count=count)
 
 
 def grid_occupancy(grid: Grid3D, points: Array, ray_tile: int = 4096) -> Array:

@@ -151,3 +151,33 @@ def test_cap_overflow_raises():
     tris = jnp.asarray(np.arange(900, dtype=np.int32).reshape(300, 3))
     with pytest.raises(ValueError):
         build_grid3d(verts, tris, cell_cap=64)
+
+
+def test_wavefront_matches_grid_cast(rng):
+    # random soup + arbitrary ray bundle: the wavefront (cell-major) path
+    # must agree with the DDA path exactly, including crossing counts and
+    # multi-round resumes (visits smaller than the deepest traversal)
+    from pyqsm_tpu.ops.grid3d import grid_cast_wavefront
+
+    ntri = 800
+    v0 = rng.uniform(-4, 4, (ntri, 3)).astype(np.float32)
+    verts = np.concatenate([
+        v0, v0 + rng.normal(0, 0.35, (ntri, 3)).astype(np.float32),
+        v0 + rng.normal(0, 0.35, (ntri, 3)).astype(np.float32)])
+    tris = np.stack([np.arange(ntri), np.arange(ntri) + ntri,
+                     np.arange(ntri) + 2 * ntri], 1).astype(np.int32)
+    grid = build_grid3d(jnp.asarray(verts), jnp.asarray(tris))
+    origins = rng.uniform(-6, 6, (2048, 3)).astype(np.float32)
+    dirs = rng.normal(size=(2048, 3)).astype(np.float32)
+    dirs /= np.linalg.norm(dirs, axis=1, keepdims=True)
+    ref = grid_cast(grid, jnp.asarray(origins), jnp.asarray(dirs),
+                    count_all=True)
+    for visits in (4, 16):
+        hits = grid_cast_wavefront(grid, jnp.asarray(origins),
+                                   jnp.asarray(dirs), visits=visits,
+                                   count_all=True)
+        t0 = np.where(np.isfinite(np.asarray(ref.t)), np.asarray(ref.t), -1)
+        t1 = np.where(np.isfinite(np.asarray(hits.t)), np.asarray(hits.t), -1)
+        np.testing.assert_allclose(t1, t0, atol=1e-4)
+        np.testing.assert_array_equal(np.asarray(hits.count),
+                                      np.asarray(ref.count))
