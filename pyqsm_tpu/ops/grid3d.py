@@ -54,6 +54,13 @@ class Grid3D(NamedTuple):
     #   row bytes: 64B rows ride the same DMA as 12B rows)
     n_residual: int = 0  # static count of live residual ids
     n_occupied: int = 0  # static count of occupied cells (wavefront bound)
+    # lane-aligned per-cell triangle rows: traversal gathers ONE contiguous
+    # [cap*16] f32 row per ray instead of cap separate [16]-wide rows that
+    # each tile-pad to 128 lanes (measured 8x HBM waste). Slot layout per
+    # triangle: v0|e1|e2|valid|tri_id_bits|pad.
+    cell_rank: Array | None = None  # [ncells] i32 occupied-cell rank, -1 empty
+    cell_rows: Array | None = None  # [n_occ_pad, cap*16] f32
+    packed_cells: bool = False  # static: cell_rows is populated
 
     @property
     def n_cells(self) -> int:
@@ -71,6 +78,7 @@ def build_grid3d(
     max_cells_per_axis: int = 256,
     cell_cap: int | None = None,
     cap_percentile: float = 99.5,
+    cell_rows_budget: int = 1 << 30,
 ) -> Grid3D:
     """Host-orchestrated uniform-grid build (one argsort).
 
@@ -204,6 +212,34 @@ def build_grid3d(
         dist = np.zeros(ncells, np.int64)
     skip = np.minimum(dist, 255).astype(np.uint8)
 
+    packed_np = np.concatenate([
+        p0, p1 - p0, p2 - p0,
+        live[:, None].astype(np.float64),
+        np.zeros((len(tris), 6)),
+    ], axis=1).astype(np.float32)
+    # slot 10 carries the triangle id as raw int32 bits (exact for any id,
+    # recovered in-kernel with bitcast_convert_type)
+    packed_np[:, 10] = np.arange(len(tris), dtype=np.int32).view(np.float32)
+
+    occ_ids = np.flatnonzero(occ)
+    n_occ = len(occ_ids)
+    packed_cells = (n_occ + 8) * cap * 64 <= cell_rows_budget
+    if packed_cells:
+        rank = np.full(ncells, -1, np.int32)
+        rank[occ_ids] = np.arange(n_occ, dtype=np.int32)
+        slot_tab = table[occ_ids] if n_occ else np.zeros((0, cap), np.int32)
+        rows = packed_np[np.maximum(slot_tab, 0)]
+        rows[slot_tab < 0] = 0.0
+        n_occ_pad = max(-8 * (-(n_occ + 1) // 8), 8)
+        rows_flat = np.zeros((n_occ_pad, cap * 16), np.float32)
+        if n_occ:
+            rows_flat[:n_occ] = rows.reshape(n_occ, cap * 16)
+        cell_rank = jnp.asarray(rank)
+        cell_rows = jnp.asarray(rows_flat)
+    else:
+        cell_rank = jnp.zeros(1, jnp.int32)
+        cell_rows = jnp.zeros((8, 16), jnp.float32)
+
     return Grid3D(
         lo=jnp.asarray(scene_lo.astype(np.float32)),
         cell=float(cell), nx=nx, ny=ny, nz=nz,
@@ -214,13 +250,12 @@ def build_grid3d(
         valid=jnp.asarray(live),
         residual=jnp.asarray(residual),
         skip=jnp.asarray(skip),
-        packed=jnp.asarray(np.concatenate([
-            p0, p1 - p0, p2 - p0,
-            live[:, None].astype(np.float64),
-            np.zeros((len(tris), 6)),
-        ], axis=1).astype(np.float32)),
+        packed=jnp.asarray(packed_np),
         n_residual=int(len(residual_ids)),
         n_occupied=int(occ.sum()),
+        cell_rank=cell_rank,
+        cell_rows=cell_rows,
+        packed_cells=packed_cells,
     )
 
 
@@ -251,14 +286,46 @@ def _mt_batch(o, d, slots, packed, alive):
     return jnp.where(hit, tt, jnp.inf), u, v
 
 
+def _mt_batch_cells(o, d, rank, cell_rows, alive):
+    """Möller–Trumbore of each ray against its CELL's packed row.
+    ``rank`` [RT] occupied-cell rank (-1 = empty/dead); ``cell_rows``
+    [n_occ_pad, cap*16]. One contiguous lane-aligned gather per ray —
+    the index count is RT, not RT·cap, and no fetched byte is padding.
+    Returns (t [RT,cap] inf=miss, u, v, slots [RT,cap] tri ids -1 pad)."""
+    cap = cell_rows.shape[1] // 16
+    rows = cell_rows[jnp.maximum(rank, 0)].reshape(o.shape[0], cap, 16)
+    ok = (rank >= 0)[:, None] & (rows[..., 9] > 0.5) & alive[:, None]
+    slots = jnp.where(
+        ok, jax.lax.bitcast_convert_type(rows[..., 10], jnp.int32), -1)
+    tv0 = rows[..., 0:3]
+    te1 = rows[..., 3:6]
+    te2 = rows[..., 6:9]
+    pvec = jnp.cross(d[:, None, :], te2)
+    det = jnp.sum(te1 * pvec, -1)
+    inv = jnp.where(jnp.abs(det) > _EPS, 1.0 / det, 0.0)
+    tvec = o[:, None, :] - tv0
+    u = jnp.sum(tvec * pvec, -1) * inv
+    qvec = jnp.cross(tvec, te1)
+    v = jnp.sum(d[:, None, :] * qvec, -1) * inv
+    tt = jnp.sum(te2 * qvec, -1) * inv
+    hit = (
+        (jnp.abs(det) > _EPS) & (u >= -_EPS) & (v >= -_EPS)
+        & (u + v <= 1.0 + _EPS) & (tt > 1e-6) & ok
+    )
+    return jnp.where(hit, tt, jnp.inf), u, v, slots
+
+
 @partial(jax.jit, static_argnames=(
-    "cell", "nx", "ny", "nz", "ray_tile", "max_steps", "count_all"))
+    "cell", "nx", "ny", "nz", "ray_tile", "max_steps", "count_all",
+    "packed_cells"))
 def _grid_cast3d(
     origins: Array, dirs: Array,
     lo: Array, cell: float, nx: int, ny: int, nz: int,
     tri_of_slot: Array, packed: Array,
     residual: Array, skip_tab: Array,
     ray_tile: int, max_steps: int, count_all: bool,
+    cell_rank: Array | None = None, cell_rows: Array | None = None,
+    packed_cells: bool = False,
 ) -> Hits:
     r = origins.shape[0]
     dims = jnp.array([nx, ny, nz], jnp.int32)
@@ -384,8 +451,13 @@ def _grid_cast3d(
             # ---- TEST PHASE: every alive ray sits in an occupied cell —
             # one [RT, cap] Möller–Trumbore batch
             cid = jnp.where(alive, cell_id(c), 0)
-            slots = tri_of_slot[cid]  # [RT, cap]
-            tt, u, v = _mt_batch(o, d, slots, packed, alive)
+            if packed_cells:
+                rnk = jnp.where(alive, cell_rank[cid], -1)
+                tt, u, v, slots = _mt_batch_cells(o, d, rnk, cell_rows,
+                                                  alive)
+            else:
+                slots = tri_of_slot[cid]  # [RT, cap]
+                tt, u, v = _mt_batch(o, d, slots, packed, alive)
             hit = jnp.isfinite(tt)
             # crossings deduplicated by assigning each hit POINT to exactly
             # one cell with the same floor/clip arithmetic as the build (an
@@ -486,6 +558,8 @@ def grid_cast(
             grid.tri_of_slot, grid.packed,
             residual, grid.skip,
             ray_tile=ray_tile, max_steps=max_steps, count_all=count_all,
+            cell_rank=grid.cell_rank, cell_rows=grid.cell_rows,
+            packed_cells=bool(grid.packed_cells),
         )
 
     r = origins.shape[0]
@@ -700,12 +774,15 @@ def _enumerate_visits(
             more_t.reshape(-1)[:r], c_t.reshape(-1, 3)[:r])
 
 
-@partial(jax.jit, static_argnames=("block", "nb_cap", "batch"))
+@partial(jax.jit, static_argnames=("block", "nb_cap", "batch",
+                                   "packed_cells"))
 def _cell_major_test(
     origins: Array, dirs: Array, visit_cids: Array,
     tri_of_slot: Array, packed: Array,
     lo: Array, cell_size: Array, dims: Array,
     block: int, nb_cap: int, batch: int = 32,
+    cell_rank: Array | None = None, cell_rows: Array | None = None,
+    packed_cells: bool = False,
 ) -> tuple[Array, Array, Array, Array, Array]:
     """Test every (ray, visited cell) pair, CELL-MAJOR. Returns per-ray
     (t, tri, u, v, count) best-of-round. The sort puts each cell's rays in
@@ -744,9 +821,19 @@ def _cell_major_test(
         sl = lambda a: jax.lax.dynamic_slice_in_dim(a, ti * batch, batch)
         cells = sl(block_cell)  # [batch]
         rays = sl(pair_ray)  # [batch, block]
-        slots = tri_of_slot[jnp.maximum(cells, 0)]  # [batch, cap] row gather
-        rows = packed[jnp.maximum(slots, 0)]  # [batch, cap, 16]
-        ok_tri = (slots >= 0) & (cells >= 0)[:, None] & (rows[..., 9] > 0.5)
+        if packed_cells:
+            rnk = jnp.where(cells >= 0, cell_rank[jnp.maximum(cells, 0)], -1)
+            cap = cell_rows.shape[1] // 16
+            rows = cell_rows[jnp.maximum(rnk, 0)].reshape(batch, cap, 16)
+            ok_tri = (rnk >= 0)[:, None] & (rows[..., 9] > 0.5)
+            slots = jnp.where(
+                ok_tri,
+                jax.lax.bitcast_convert_type(rows[..., 10], jnp.int32), -1)
+        else:
+            slots = tri_of_slot[jnp.maximum(cells, 0)]  # [batch, cap] gather
+            rows = packed[jnp.maximum(slots, 0)]  # [batch, cap, 16]
+            ok_tri = ((slots >= 0) & (cells >= 0)[:, None]
+                      & (rows[..., 9] > 0.5))
         live_ray = rays >= 0
         rid = jnp.maximum(rays, 0)
         o = origins[rid]  # [batch, block, 3]
@@ -868,7 +955,9 @@ def grid_cast_wavefront(
             o, d, jnp.where(alive[:, None], vis, -1),
             grid.tri_of_slot, grid.packed,
             grid.lo, jnp.float32(grid.cell), dims,
-            block=block, nb_cap=nb_cap)
+            block=block, nb_cap=nb_cap,
+            cell_rank=grid.cell_rank, cell_rows=grid.cell_rows,
+            packed_cells=bool(grid.packed_cells))
         better = alive & (t < best_t)
         best_tri = jnp.where(better, tri, best_tri)
         best_u = jnp.where(better, u, best_u)

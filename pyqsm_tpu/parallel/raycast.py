@@ -63,24 +63,26 @@ def sharded_grid_cast(
     max_steps = grid.nx + grid.ny + grid.nz + 4
     residual = grid.residual if grid.n_residual > 0 else grid.residual[:0]
 
-    def local(o, d, table, packed, res, skip):
+    def local(o, d, table, packed, res, skip, rank, rows):
         return _grid_cast3d(
             o, d, grid.lo, grid.cell, grid.nx, grid.ny, grid.nz,
             table, packed, res, skip,
             ray_tile=ray_tile, max_steps=max_steps, count_all=count_all,
+            cell_rank=rank, cell_rows=rows,
+            packed_cells=bool(grid.packed_cells),
         )
 
     fn = shard_map(
         local,
         mesh=mesh,
-        in_specs=(P(axis), P(axis), P(), P(), P(), P()),
+        in_specs=(P(axis), P(axis), P(), P(), P(), P(), P(), P()),
         out_specs=Hits(t=P(axis), tri=P(axis), uv=P(axis), count=P(axis)),
         check_vma=False,
     )
     o = jax.device_put(origins, NamedSharding(mesh, P(axis)))
     d = jax.device_put(dirs, NamedSharding(mesh, P(axis)))
     return jax.jit(fn)(o, d, grid.tri_of_slot, grid.packed, residual,
-                       grid.skip)
+                       grid.skip, grid.cell_rank, grid.cell_rows)
 
 
 def sharded_cell_cast(
