@@ -49,6 +49,12 @@ class RayGrid(NamedTuple):
     e1: Array
     e2: Array
     valid: Array  # [T]
+    # lane-aligned per-cell triangle rows (v0|e1|e2|valid|tri_id_bits|pad ×
+    # cap): the cell-major cast SLICES its tile's rows contiguously instead
+    # of gathering cap separate [3]-wide rows that each tile-pad to 128
+    # lanes; the per-ray cast gathers ONE row per ray
+    cell_rows: Array | None = None  # [ncells, cap*16] f32
+    packed_cells: bool = False
 
 
 def build_ray_grid(
@@ -132,6 +138,7 @@ def build_ray_grid(
     v0 = p0.astype(np.float32)
     e1 = (p1 - p0).astype(np.float32)
     e2 = (p2 - p0).astype(np.float32)
+    rows_flat, packed_cells = _pack_cell_rows(table, v0, e1, e2, live)
     return RayGrid(
         u=jnp.asarray(u.astype(np.float32)),
         v=jnp.asarray(v.astype(np.float32)),
@@ -140,16 +147,46 @@ def build_ray_grid(
         tri_of_slot=jnp.asarray(table),
         v0=jnp.asarray(v0), e1=jnp.asarray(e1), e2=jnp.asarray(e2),
         valid=jnp.asarray(live),
+        cell_rows=jnp.asarray(rows_flat),
+        packed_cells=packed_cells,
     )
 
 
-@partial(jax.jit, static_argnames=("cell", "nx", "ny", "ray_tile"))
+def _packed_rows_np(v0, e1, e2, live) -> np.ndarray:
+    """[T, 16] f32 rows: v0|e1|e2|valid|tri_id_bits|pad (id recovered in
+    kernel with bitcast_convert_type — exact for any id)."""
+    t = len(v0)
+    rows = np.zeros((t, 16), np.float32)
+    rows[:, 0:3] = v0
+    rows[:, 3:6] = e1
+    rows[:, 6:9] = e2
+    rows[:, 9] = live.astype(np.float32)
+    rows[:, 10] = np.arange(t, dtype=np.int32).view(np.float32)
+    return rows
+
+
+def _pack_cell_rows(table, v0, e1, e2, live,
+                    budget: int = 1 << 30) -> tuple[np.ndarray, bool]:
+    """Per-cell packed rows [ncells, cap*16]; (zeros(8,16), False) when the
+    table would exceed ``budget`` bytes."""
+    ncells, cap = table.shape
+    if ncells * cap * 64 > budget:
+        return np.zeros((8, 16), np.float32), False
+    packed = _packed_rows_np(v0, e1, e2, live)
+    rows = packed[np.maximum(table, 0)]
+    rows[table < 0] = 0.0
+    return rows.reshape(ncells, cap * 16), True
+
+
+@partial(jax.jit, static_argnames=("cell", "nx", "ny", "ray_tile",
+                                   "packed_cells"))
 def _grid_cast(
     origins: Array, dirs: Array,
     u: Array, v: Array, origin_uv: Array,
     cell: float, nx: int, ny: int,
     tri_of_slot: Array, v0: Array, e1: Array, e2: Array, valid: Array,
     ray_tile: int = 4096,
+    cell_rows: Array | None = None, packed_cells: bool = False,
 ) -> Hits:
     r = origins.shape[0]
     cap = tri_of_slot.shape[1]
@@ -163,13 +200,24 @@ def _grid_cast(
         vv = ot @ v
         cx = jnp.clip(((uu - origin_uv[0]) / cell).astype(jnp.int32), 0, nx - 1)
         cy = jnp.clip(((vv - origin_uv[1]) / cell).astype(jnp.int32), 0, ny - 1)
-        slots = tri_of_slot[cx * ny + cy]  # [RT, cap]
-        tid = jnp.maximum(slots, 0)
-        ok_tri = (slots >= 0) & valid[tid]
-        # per-ray private triangle set: vectorized MT on [RT, cap]
-        tv0 = v0[tid]
-        te1 = e1[tid]
-        te2 = e2[tid]
+        if packed_cells:
+            # ONE contiguous lane-aligned row gather per ray
+            rows = cell_rows[cx * ny + cy].reshape(ot.shape[0], cap, 16)
+            ok_tri = rows[..., 9] > 0.5
+            slots = jnp.where(
+                ok_tri,
+                jax.lax.bitcast_convert_type(rows[..., 10], jnp.int32), -1)
+            tv0 = rows[..., 0:3]
+            te1 = rows[..., 3:6]
+            te2 = rows[..., 6:9]
+        else:
+            slots = tri_of_slot[cx * ny + cy]  # [RT, cap]
+            tid = jnp.maximum(slots, 0)
+            ok_tri = (slots >= 0) & valid[tid]
+            # per-ray private triangle set: vectorized MT on [RT, cap]
+            tv0 = v0[tid]
+            te1 = e1[tid]
+            te2 = e2[tid]
         pvec = jnp.cross(dt[:, None, :], te2)
         det = jnp.sum(te1 * pvec, -1)
         inv = jnp.where(jnp.abs(det) > 1e-9, 1.0 / det, 0.0)
@@ -211,6 +259,7 @@ def grid_cast_parallel(grid: RayGrid, origins: Array, dirs: Array,
         grid.cell, grid.nx, grid.ny,
         grid.tri_of_slot, grid.v0, grid.e1, grid.e2, grid.valid,
         ray_tile=ray_tile,
+        cell_rows=grid.cell_rows, packed_cells=bool(grid.packed_cells),
     )
 
 
@@ -239,9 +288,12 @@ class ImageGrid(NamedTuple):
     e2: Array
     valid: Array
     residual: Array  # [nr] i32 behind/straddling-eye triangles (-1 pad)
-    # occupancy buckets, precomputed at build: ((cap, tile_ids), ...) with
-    # device-resident id arrays — a tile only pays a Möller–Trumbore width
-    # matched to its own load, and casts never upload anything
+    # occupancy buckets, precomputed at build: ((cap, tile_ids, rows), ...)
+    # with device-resident arrays — a tile only pays a Möller–Trumbore width
+    # matched to its own load, and casts never upload anything. ``rows``
+    # [len(tile_ids), cap*16] packs each listed tile's triangle rows
+    # (v0|e1|e2|valid|tri_id_bits|pad) aligned with ``tile_ids``, so the
+    # cast SLICES its block's rows contiguously — zero triangle gathers.
     buckets: tuple = ()
 
 
@@ -331,6 +383,9 @@ def build_image_grid(
     residual[: len(res_ids)] = res_ids.astype(np.int32)
 
     v0 = p[:, 0].astype(np.float32)
+    e1np = (p[:, 1] - p[:, 0]).astype(np.float32)
+    e2np = (p[:, 2] - p[:, 0]).astype(np.float32)
+    packed = _packed_rows_np(v0, e1np, e2np, live)
     occ = (table >= 0).sum(1)
     buckets = []
     bcap, lo_occ = 8, 0
@@ -343,7 +398,13 @@ def build_image_grid(
                 padded *= 2
             ids = np.concatenate(
                 [sel, np.full(padded - len(sel), -1)]).astype(np.int32)
-            buckets.append((min(bcap, cap), jnp.asarray(ids)))
+            bc = min(bcap, cap)
+            sub = table[sel, :bc]
+            rows = packed[np.maximum(sub, 0)]
+            rows[sub < 0] = 0.0
+            rows_b = np.zeros((padded, bc * 16), np.float32)
+            rows_b[: len(sel)] = rows.reshape(len(sel), bc * 16)
+            buckets.append((bc, jnp.asarray(ids), jnp.asarray(rows_b)))
         lo_occ = bcap
         bcap *= 2
 
@@ -356,8 +417,8 @@ def build_image_grid(
         width=width_px, height=height_px, tile_px=tile_px,
         tri_of_slot=jnp.asarray(table),
         v0=jnp.asarray(v0),
-        e1=jnp.asarray((p[:, 1] - p[:, 0]).astype(np.float32)),
-        e2=jnp.asarray((p[:, 2] - p[:, 0]).astype(np.float32)),
+        e1=jnp.asarray(e1np),
+        e2=jnp.asarray(e2np),
         valid=jnp.asarray(live),
         residual=jnp.asarray(residual),
         buckets=tuple(buckets),
@@ -370,10 +431,15 @@ def _image_cast_tiles(
     half: float, aspect: float, width: int, height: int, tile_px: int,
     tri_of_slot: Array, v0: Array, e1: Array, e2: Array, valid: Array,
     tiles_per_block: int = 512,
+    rows_aligned: Array | None = None, packed_cells: bool = False,
 ):
     """Cast the pixels of the listed tiles only, at this table's cap —
     callers bucket tiles by occupancy so each tile pays a cap matched to
-    its own load instead of the global max (empty tiles never dispatch)."""
+    its own load instead of the global max (empty tiles never dispatch).
+
+    With ``packed_cells``, ``rows_aligned`` [M, cap*16] holds each listed
+    tile's packed triangle rows in ``tile_ids`` order: the triangle fetch
+    becomes one contiguous SLICE per block — zero gathers."""
     nty = -(-height // tile_px)
     cap = tri_of_slot.shape[1]
     rpc = tile_px * tile_px
@@ -387,6 +453,9 @@ def _image_cast_tiles(
     nb = -(-m // tiles_per_block)
     ids = jnp.pad(tile_ids, (0, nb * tiles_per_block - m),
                   constant_values=-1)
+    rows_all = jnp.pad(rows_aligned,
+                       ((0, nb * tiles_per_block - m), (0, 0))) \
+        if packed_cells else None
 
     def block(bi):
         tids = jax.lax.dynamic_slice_in_dim(ids, bi * tiles_per_block,
@@ -403,12 +472,24 @@ def _image_cast_tiles(
              + sx[..., None] * (half * aspect) * right[None, None, :]
              + sy[..., None] * half * true_up[None, None, :])
         d = d / jnp.linalg.norm(d, axis=-1, keepdims=True)  # [TB, rpc, 3]
-        slots = tri_of_slot[tids]  # [TB, cap] — one row gather per tile
-        tid = jnp.maximum(slots, 0)
-        ok_tri = (slots >= 0) & valid[tid] & live_tile[:, None]  # [TB, cap]
-        tv0 = v0[tid] - eye[None, None, :]  # [TB, cap, 3] (origin at eye)
-        te1 = e1[tid]
-        te2 = e2[tid]
+        if packed_cells:
+            rows = jax.lax.dynamic_slice_in_dim(
+                rows_all, bi * tiles_per_block, tiles_per_block
+            ).reshape(tiles_per_block, cap, 16)
+            ok_tri = (rows[..., 9] > 0.5) & live_tile[:, None]
+            slots = jnp.where(
+                ok_tri,
+                jax.lax.bitcast_convert_type(rows[..., 10], jnp.int32), -1)
+            tv0 = rows[..., 0:3] - eye[None, None, :]  # origin at eye
+            te1 = rows[..., 3:6]
+            te2 = rows[..., 6:9]
+        else:
+            slots = tri_of_slot[tids]  # [TB, cap] — one row gather per tile
+            tid = jnp.maximum(slots, 0)
+            ok_tri = (slots >= 0) & valid[tid] & live_tile[:, None]
+            tv0 = v0[tid] - eye[None, None, :]  # [TB, cap, 3] (origin at eye)
+            te1 = e1[tid]
+            te2 = e2[tid]
         pvec = jnp.cross(d[:, :, None, :], te2[:, None, :, :])  # [TB,rpc,cap,3]
         det = jnp.sum(te1[:, None, :, :] * pvec, -1)
         inv = jnp.where(jnp.abs(det) > 1e-9, 1.0 / det, 0.0)
@@ -440,13 +521,15 @@ def _image_cast_tiles(
 
 
 @partial(jax.jit, static_argnames=("half", "aspect", "width", "height",
-                                   "tile_px", "caps", "tiles_per_block"))
+                                   "tile_px", "caps", "tiles_per_block",
+                                   "packed_cells"))
 def _image_cast_fused(
     ids_list,  # tuple of [Mb] i32 tile-id arrays, one per occupancy bucket
     eye, right, true_up, fwd,
     half: float, aspect: float, width: int, height: int, tile_px: int,
     tri_of_slot, v0, e1, e2, valid,
     caps: tuple, tiles_per_block: int,
+    rows_list=(), packed_cells: bool = False,
 ):
     """All buckets + scatter-assembly in ONE dispatch — eager per-bucket
     calls each paid host↔device round-trip latency (dominant on
@@ -461,12 +544,14 @@ def _image_cast_fused(
     u_all = jnp.zeros((ntiles + 1, rpc), jnp.float32)
     v_all = jnp.zeros((ntiles + 1, rpc), jnp.float32)
     cnt_all = jnp.zeros((ntiles + 1, rpc), jnp.int32)
-    for cap, ids in zip(caps, ids_list):
+    for bi, (cap, ids) in enumerate(zip(caps, ids_list)):
         t_, tri_, u_, v_, cnt_ = _image_cast_tiles(
             ids, eye, right, true_up, fwd,
             half, aspect, width, height, tp,
             tri_of_slot[:, :cap], v0, e1, e2, valid,
             tiles_per_block=tiles_per_block,
+            rows_aligned=rows_list[bi] if packed_cells else None,
+            packed_cells=packed_cells,
         )
         row = jnp.where(ids >= 0, ids, ntiles)
         t_all = t_all.at[row].set(t_, mode="drop")
@@ -495,14 +580,16 @@ def image_cast(grid: ImageGrid, tiles_per_block: int = 512) -> Hits:
     dense tile (a whole far canopy projecting into a few tiles) sets the
     Möller–Trumbore width for every tile in the image. Empty tiles are
     never dispatched at all."""
-    caps = tuple(int(c) for c, _ in grid.buckets)
-    ids_list = tuple(ids for _, ids in grid.buckets)
+    caps = tuple(int(c) for c, _, _ in grid.buckets)
+    ids_list = tuple(ids for _, ids, _ in grid.buckets)
+    rows_list = tuple(rows for _, _, rows in grid.buckets)
     t, tri, u_, v_, cnt = _image_cast_fused(
         ids_list,
         grid.eye, grid.right, grid.true_up, grid.fwd,
         grid.half, grid.aspect, grid.width, grid.height, grid.tile_px,
         grid.tri_of_slot, grid.v0, grid.e1, grid.e2, grid.valid,
         caps=caps, tiles_per_block=tiles_per_block,
+        rows_list=rows_list, packed_cells=True,
     )
     uv = jnp.stack([u_, v_], 1)
 
@@ -539,12 +626,18 @@ class CellCastResult(NamedTuple):
 
 def _cell_cast_rows(direction, u, v, origin_uv, cell, nx, ny,
                     table, cell_ids, v0, e1, e2, valid,
-                    rpc_side, cell_tile, back_dist):
+                    rpc_side, cell_tile, back_dist,
+                    rows_strip=None, packed_cells=False):
     """Cell-aligned cast over an explicit table strip + cell-id vector —
     the SHARED body of the single-device ``_cell_cast`` and the shard-local
     kernel of ``parallel.raycast.sharded_cell_cast`` (one implementation so
-    the two paths cannot diverge). Traceable; call under jit/shard_map."""
+    the two paths cannot diverge). Traceable; call under jit/shard_map.
+
+    With ``packed_cells``, ``rows_strip`` [ncells_local, cap*16] replaces
+    the per-slot v0/e1/e2 gathers with one contiguous SLICE per tile —
+    zero gathers on the triangle fetch."""
     ncells_local = table.shape[0]
+    cap = table.shape[1]
     rpc = rpc_side * rpc_side
     d = direction / jnp.maximum(jnp.linalg.norm(direction), 1e-12)
     # sub-grid offsets within a cell (cell-centered samples)
@@ -559,13 +652,23 @@ def _cell_cast_rows(direction, u, v, origin_uv, cell, nx, ny,
         cids = sl(cell_ids)
         cx = (cids // ny).astype(jnp.float32)
         cy = (cids % ny).astype(jnp.float32)
-        # triangle block: table rows are contiguous — ONE dense slice per tile
-        slots = sl(table)
-        tid = jnp.maximum(slots, 0)
-        ok_tri = (slots >= 0) & valid[tid]  # [CT, cap]
-        tv0 = v0[tid]  # [CT, cap, 3] — gathered once per CELL, not per ray
-        te1 = e1[tid]
-        te2 = e2[tid]
+        if packed_cells:
+            rows = sl(rows_strip).reshape(cell_tile, cap, 16)
+            ok_tri = rows[..., 9] > 0.5  # [CT, cap]
+            slots = jnp.where(
+                ok_tri,
+                jax.lax.bitcast_convert_type(rows[..., 10], jnp.int32), -1)
+            tv0 = rows[..., 0:3]
+            te1 = rows[..., 3:6]
+            te2 = rows[..., 6:9]
+        else:
+            # triangle block: table rows are contiguous — ONE dense slice
+            slots = sl(table)
+            tid = jnp.maximum(slots, 0)
+            ok_tri = (slots >= 0) & valid[tid]  # [CT, cap]
+            tv0 = v0[tid]  # [CT, cap, 3] — gathered once per CELL
+            te1 = e1[tid]
+            te2 = e2[tid]
         # ray origins for this tile: [CT, rpc, 3]
         uu = origin_uv[0] + cx[:, None] * cell + sub[None, :, 0]
         vv = origin_uv[1] + cy[:, None] * cell + sub[None, :, 1]
@@ -606,13 +709,14 @@ def _cell_cast_rows(direction, u, v, origin_uv, cell, nx, ny,
 
 
 @partial(jax.jit, static_argnames=("cell", "nx", "ny", "rpc_side", "cell_tile",
-                                   "back_dist"))
+                                   "back_dist", "packed_cells"))
 def _cell_cast(
     direction: Array,
     u: Array, v: Array, origin_uv: Array,
     cell: float, nx: int, ny: int,
     tri_of_slot: Array, v0: Array, e1: Array, e2: Array, valid: Array,
     rpc_side: int, cell_tile: int, back_dist: float,
+    cell_rows: Array | None = None, packed_cells: bool = False,
 ):
     ncells = nx * ny
     nt = -(-ncells // cell_tile)
@@ -620,9 +724,12 @@ def _cell_cast(
     table = jnp.pad(tri_of_slot, ((0, pad_cells - ncells), (0, 0)),
                     constant_values=-1)
     cell_ids = jnp.arange(pad_cells, dtype=jnp.int32)
+    rows = jnp.pad(cell_rows, ((0, pad_cells - ncells), (0, 0))) \
+        if packed_cells else None
     t_, tri_, cnt_ = _cell_cast_rows(
         direction, u, v, origin_uv, cell, nx, ny, table, cell_ids,
-        v0, e1, e2, valid, rpc_side, cell_tile, back_dist)
+        v0, e1, e2, valid, rpc_side, cell_tile, back_dist,
+        rows_strip=rows, packed_cells=packed_cells)
     return t_[:ncells], tri_[:ncells], cnt_[:ncells]
 
 
@@ -638,6 +745,7 @@ def cell_cast_parallel(grid: RayGrid, direction, rays_per_cell_side: int = 4,
         grid.cell, grid.nx, grid.ny,
         grid.tri_of_slot, grid.v0, grid.e1, grid.e2, grid.valid,
         rpc_side=rays_per_cell_side, cell_tile=cell_tile, back_dist=back_dist,
+        cell_rows=grid.cell_rows, packed_cells=bool(grid.packed_cells),
     )
     ray_area = (grid.cell / rays_per_cell_side) ** 2
     return CellCastResult(t=t, tri=tri, count=cnt, ray_area=ray_area)

@@ -111,25 +111,30 @@ def sharded_cell_cast(
     pad = per * n_dev - ncells
     table = jnp.pad(grid.tri_of_slot, ((0, pad), (0, 0)), constant_values=-1)
     cell_ids = jnp.arange(ncells + pad, dtype=jnp.int32)
+    packed_cells = bool(grid.packed_cells)
+    rows = jnp.pad(grid.cell_rows, ((0, pad), (0, 0))) if packed_cells \
+        else jnp.zeros((table.shape[0], 16), jnp.float32)
 
-    def local(tab, cids):
+    def local(tab, cids, rws):
         t, tri, cnt = _cell_cast_rows(
             jnp.asarray(direction, jnp.float32), grid.u, grid.v,
             grid.origin_uv, grid.cell, grid.nx, grid.ny,
             tab, cids, grid.v0, grid.e1, grid.e2, grid.valid,
             rays_per_cell_side, cell_tile, back_dist,
+            rows_strip=rws, packed_cells=packed_cells,
         )
         return t, tri, cnt
 
     fn = shard_map(
         local, mesh=mesh,
-        in_specs=(P(axis), P(axis)),
+        in_specs=(P(axis), P(axis), P(axis)),
         out_specs=(P(axis), P(axis), P(axis)),
         check_vma=False,
     )
     tbl = jax.device_put(table, NamedSharding(mesh, P(axis)))
     cid = jax.device_put(cell_ids, NamedSharding(mesh, P(axis)))
-    t, tri, cnt = jax.jit(fn)(tbl, cid)
+    rws = jax.device_put(rows, NamedSharding(mesh, P(axis)))
+    t, tri, cnt = jax.jit(fn)(tbl, cid, rws)
     ray_area = (grid.cell / rays_per_cell_side) ** 2
     return CellCastResult(t=t[:ncells], tri=tri[:ncells],
                           count=cnt[:ncells], ray_area=ray_area)
@@ -164,29 +169,32 @@ def sharded_image_cast(mesh: Mesh, grid, axis: str = "points") -> Hits:
     v_all = jnp.zeros((ntiles + 1, rpc), jnp.float32)
     cnt_all = jnp.zeros((ntiles + 1, rpc), jnp.int32)
 
-    for cap, ids in grid.buckets:
+    for cap, ids, rows in grid.buckets:
         pad = (-ids.shape[0]) % n_dev
         ids_p = jnp.pad(ids, (0, pad), constant_values=-1)
+        rows_p = jnp.pad(rows, ((0, pad), (0, 0)))
         table = grid.tri_of_slot[:, :cap]
 
-        def local(ids_l, tab, v0, e1, e2, valid):
+        def local(ids_l, rows_l, tab, v0, e1, e2, valid):
             # one block per shard: the local tile list is already bounded
             return _image_cast_tiles(
                 ids_l, grid.eye, grid.right, grid.true_up, grid.fwd,
                 grid.half, grid.aspect, grid.width, grid.height, tp,
                 tab, v0, e1, e2, valid,
                 tiles_per_block=ids_l.shape[0],
+                rows_aligned=rows_l, packed_cells=True,
             )
 
         fn = shard_map(
             local, mesh=mesh,
-            in_specs=(P(axis), P(), P(), P(), P(), P()),
+            in_specs=(P(axis), P(axis), P(), P(), P(), P(), P()),
             out_specs=(P(axis),) * 5,
             check_vma=False,
         )
         ids_sh = jax.device_put(ids_p, NamedSharding(mesh, P(axis)))
+        rows_sh = jax.device_put(rows_p, NamedSharding(mesh, P(axis)))
         t_, tri_, u_, v_, cnt_ = jax.jit(fn)(
-            ids_sh, table, grid.v0, grid.e1, grid.e2, grid.valid)
+            ids_sh, rows_sh, table, grid.v0, grid.e1, grid.e2, grid.valid)
         row = jnp.where(ids_p >= 0, ids_p, ntiles)
         t_all = t_all.at[row].set(t_, mode="drop")
         tri_all = tri_all.at[row].set(tri_, mode="drop")
