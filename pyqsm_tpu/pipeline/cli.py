@@ -192,5 +192,49 @@ def raycast_main(argv: list[str] | None = None) -> int:
     return 0
 
 
+def viz_main(argv: list[str] | None = None) -> int:
+    """Export a standalone interactive HTML viewer of a cloud (optionally
+    colored by an isolation label artifact) and/or a reconstructed canopy
+    mesh — the headless-TPU replacement for the reference's Open3D GUI
+    harness (``scripts/downgraded_from_src/ui.py``)."""
+    parser = argparse.ArgumentParser(
+        "pyqsm-viz", description="Standalone WebGL viewer export")
+    _common(parser)
+    parser.add_argument("--labels", default=None,
+                        help="NPZ artifact with a 'labels' array "
+                             "(e.g. pyqsm-tree-isolation output)")
+    parser.add_argument("--mesh-voxel", type=float, default=None,
+                        help="also reconstruct + show a surface at this "
+                             "voxel size (m)")
+    parser.add_argument("--max-points", type=int, default=2_000_000)
+    args = parser.parse_args(argv)
+
+    from pyqsm_tpu.utils.webviz import export_viewer
+
+    data, pts, mask = _load(args.input, args.voxel)
+    pts_np = np.asarray(pts)[np.asarray(mask)]
+    labels = None
+    if args.labels:
+        lab = np.load(args.labels)["labels"]
+        labels = lab[np.asarray(mask)] if len(lab) == len(np.asarray(mask)) \
+            else lab
+    mesh_v = mesh_t = None
+    if args.mesh_voxel:
+        from pyqsm_tpu.ops.voxelmesh import poisson_like_mesh
+
+        m = poisson_like_mesh(pts, mask, voxel=args.mesh_voxel)
+        mesh_v, mesh_t = np.asarray(m.vertices), np.asarray(m.triangles)
+    out = Path(args.output_dir) / (Path(args.input).stem + "_viewer.html")
+    colors = getattr(data, "colors", None)
+    if labels is not None or (colors is not None
+                              and len(colors) != len(pts_np)):
+        colors = None
+    export_viewer(out, points=pts_np, labels=labels, colors=colors,
+                  mesh_vertices=mesh_v, mesh_triangles=mesh_t,
+                  title=Path(args.input).stem, max_points=args.max_points)
+    print(f"viewer -> {out} ({len(pts_np):,} points)")
+    return 0
+
+
 if __name__ == "__main__":
     sys.exit(tree_isolation_main())
