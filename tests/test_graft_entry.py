@@ -31,5 +31,7 @@ def test_dryrun_multichip_8(graft):
     graft.dryrun_multichip(8)  # asserts internally
 
 
+@pytest.mark.slow  # the 8-device dryrun covers the sharded path; this only
+# re-checks the odd-device mesh factorization
 def test_dryrun_multichip_4(graft):
     graft.dryrun_multichip(4)

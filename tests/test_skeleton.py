@@ -233,11 +233,11 @@ def test_two_level_contraction_matches_single_level(rng):
         return c + d * r
 
     pts = np.concatenate([
-        seg([0, 0, 0], [0, 0, 5], 9000, 0.3),
-        seg([0, 0, 5], [1.5, 0, 8], 5000, 0.15),
-        seg([0, 0, 5], [-1.2, 0.8, 7.5], 5000, 0.12),
+        seg([0, 0, 0], [0, 0, 5], 5000, 0.3),
+        seg([0, 0, 5], [1.5, 0, 8], 2500, 0.15),
+        seg([0, 0, 5], [-1.2, 0.8, 7.5], 2500, 0.12),
     ]).astype(np.float32)
-    cap = 32768  # big enough to trigger the two-level path
+    cap = 16384  # ≥ 8192*coarse_stride/2: triggers the two-level path
     p = np.zeros((1, cap, 3), np.float32)
     p[0, : len(pts)] = pts
     m = np.zeros((1, cap), bool)
