@@ -20,7 +20,6 @@ from pyqsm_tpu.config import Config, IsolationConfig
 from pyqsm_tpu.models.canopy import canopy_metrics
 from pyqsm_tpu.models.isolation import GrowthResult, build_trees
 
-from pyqsm_tpu.ops.sampling import compact_rows, voxel_downsample
 from pyqsm_tpu.state import Cylinders
 
 Array = jax.Array
@@ -73,56 +72,63 @@ def process_plot(
     if max_trees is not None:
         uniq, counts = uniq[:max_trees], counts[:max_trees]
 
-    # per-tree downsample + compaction into ONE shared capacity bucket so the
-    # batched contraction compiles once and vmaps over the trees axis
-    kept_ids: list[int] = []
-    tree_arrays: list[tuple] = []
-    warm_rung = 0  # similar-density trees start near the answer
-    for tree_id, n_tree in zip(uniq, counts):
-        if n_tree < min_tree_points:
-            continue
-        # compact the tree FIRST: the voxel ladder then runs on a tree-sized
-        # buffer instead of the full plot capacity (at 10M-pt plots every
-        # ladder rung would otherwise be a full-capacity dispatch per tree)
-        tpts, tmask_c, _ = compact_rows(points, jnp.asarray(lab == tree_id))
-        # warm-started ladder: step DOWN while comfortably under the cap,
-        # step UP while over — trees in a plot share density, so after the
-        # first tree this is ~1 rung instead of ~9 (each rung is a synced
-        # full-tree dispatch; the cold ladder was 30% of pipeline time).
-        # Rungs live on the fixed geometric grid skeleton_voxel·1.3^k so
-        # the static voxel values (jit keys) stay identical across trees.
-        rung = warm_rung
-        voxel = skeleton_voxel * 1.3 ** rung
-        p2, m2, _ = voxel_downsample(tpts, voxel, tmask_c)
-        n2 = int(jnp.sum(m2))
-        while n2 < 0.6 * max_skeleton_points and rung > 0:
-            rung -= 1
-            voxel = skeleton_voxel * 1.3 ** rung
-            p2, m2, _ = voxel_downsample(tpts, voxel, tmask_c)
-            n2 = int(jnp.sum(m2))
-        while n2 > max_skeleton_points and voxel < 0.5:
-            rung += 1
-            voxel = skeleton_voxel * 1.3 ** rung
-            p2, m2, _ = voxel_downsample(tpts, voxel, tmask_c)
-            n2 = int(jnp.sum(m2))
-        warm_rung = rung
-        p2, m2, _ = compact_rows(p2, m2)
-        kept_ids.append(int(tree_id))
-        tree_arrays.append((p2, m2, int(n_tree)))
-    if not tree_arrays:
+    # batched resolution ladder: ALL trees are gathered into one [T, capT]
+    # buffer and their rungs found together — a per-tree binary search over
+    # the shared geometric rung grid skeleton_voxel·1.3^k, every probe ONE
+    # batched dispatch + ONE host sync for the whole plot (the sequential
+    # per-tree ladder was ~30 synced dispatches ≈ 10s of tunnel latency at
+    # 8 trees; this is ≤ ceil(log2(#rungs)) + 2).
+    kept_ids = [int(t) for t, c in zip(uniq, counts) if c >= min_tree_points]
+    kept_counts = [int(c) for t, c in zip(uniq, counts) if c >= min_tree_points]
+    if not kept_ids:
         return PlotResult(growth, [], timings)
+    t_n = len(kept_ids)
+    cap_t = -2048 * (-max(kept_counts) // 2048)
+    idx_np = np.full((t_n, cap_t), -1, np.int32)
+    for i, tree_id in enumerate(kept_ids):
+        rows = np.flatnonzero(lab == tree_id)
+        idx_np[i, : len(rows)] = rows
+    idx = jnp.asarray(np.maximum(idx_np, 0))
+    tree_m = jnp.asarray(idx_np >= 0)
+    tree_p = jnp.where(tree_m[..., None], points[idx], 0.0)
 
+    # rung policy: finest rung with occupied-voxel count <= cap (monotone in
+    # rung → per-tree binary search, all trees probed per iteration), bounded
+    # by the first rung at voxel >= 0.5 (the sequential ladder's stop rule)
+    from pyqsm_tpu.ops.sampling import (
+        compact_rows_batch, voxel_count_batch, voxel_downsample_batch,
+    )
+
+    n_rungs = 1
+    while skeleton_voxel * 1.3 ** (n_rungs - 1) < 0.5:
+        n_rungs += 1
+    lo_r = np.zeros(t_n, np.int32)
+    hi_r = np.full(t_n, n_rungs - 1, np.int32)
+    while np.any(lo_r < hi_r):
+        act = lo_r < hi_r
+        mid = (lo_r + hi_r) // 2
+        voxels = (skeleton_voxel * 1.3 ** mid).astype(np.float32)
+        cnt = np.asarray(voxel_count_batch(tree_p, jnp.asarray(voxels), tree_m))
+        ok = cnt <= max_skeleton_points
+        hi_r = np.where(act & ok, mid, hi_r)
+        lo_r = np.where(act & ~ok, mid + 1, lo_r)
+    final_v = (skeleton_voxel * 1.3 ** lo_r).astype(np.float32)
+    rep_p, rep_m, _ = voxel_downsample_batch(tree_p, jnp.asarray(final_v), tree_m)
+    rep_p, rep_m = compact_rows_batch(rep_p, rep_m)
+    n_rep = int(np.asarray(jnp.max(jnp.sum(rep_m, axis=1))))
     # bucket the shared capacity to a coarse grid: contraction compiles are
     # minutes on remote TPUs, and per-plot caps otherwise vary by one
     # 2048-row pad step between runs
-    cap = max(p.shape[0] for p, _, _ in tree_arrays)
-    cap = -8192 * (-cap // 8192)
-    batch_p = jnp.stack([
-        jnp.pad(p, ((0, cap - p.shape[0]), (0, 0))) for p, _, _ in tree_arrays
-    ])
-    batch_m = jnp.stack([
-        jnp.pad(m, (0, cap - m.shape[0])) for _, m, _ in tree_arrays
-    ])
+    cap = int(-8192 * (-max(n_rep, 1) // 8192))
+    if cap <= cap_t:
+        batch_p = rep_p[:, :cap]
+        batch_m = rep_m[:, :cap]
+    else:
+        batch_p = jnp.pad(rep_p, ((0, 0), (0, cap - cap_t), (0, 0)))
+        batch_m = jnp.pad(rep_m, ((0, 0), (0, cap - cap_t)))
+    tree_arrays = [
+        (batch_p[i], batch_m[i], kept_counts[i]) for i in range(t_n)
+    ]
 
     from pyqsm_tpu.models.skeleton import (
         extract_skeleton_batch, extract_topology, skeleton_to_qsm,

@@ -23,23 +23,14 @@ Array = jax.Array
 _INT32_MAX = np.iinfo(np.int32).max
 
 
-@partial(jax.jit, static_argnames=("voxel_size",))
-def voxel_downsample(
+def _voxel_downsample_body(
     points: Array,
-    voxel_size: float,
-    mask: Array | None = None,
+    voxel_size: Array | float,
+    mask: Array,
 ) -> tuple[Array, Array, Array]:
-    """Voxel-grid downsample with centroid representatives and trace.
-
-    Returns ``(rep_points [N,3], rep_mask [N] bool, trace [N] i32)``:
-    representative rows keep their original row position (rep_mask marks one
-    row per occupied voxel; its coordinates become the voxel centroid — the
-    same semantics as Open3D's averaging voxel_down_sample), and ``trace[i]``
-    is the representative row index for original point i (-1 for dead rows).
-    """
+    """Shared body of the voxel downsample; ``voxel_size`` may be a traced
+    scalar (the batched ladder vmaps this over per-tree sizes)."""
     n = points.shape[0]
-    if mask is None:
-        mask = jnp.ones(n, dtype=bool)
     finite = mask & jnp.all(jnp.isfinite(points), axis=-1)
     safe = jnp.where(finite[:, None], points, 0.0)
     lo = jnp.min(jnp.where(finite[:, None], safe, jnp.inf), axis=0)
@@ -82,6 +73,76 @@ def voxel_downsample(
         centroid[jnp.minimum(seg_of_first, n - 1)], mode="drop"
     )
     return rep_points, rep_mask & finite, trace
+
+
+@partial(jax.jit, static_argnames=("voxel_size",))
+def voxel_downsample(
+    points: Array,
+    voxel_size: float,
+    mask: Array | None = None,
+) -> tuple[Array, Array, Array]:
+    """Voxel-grid downsample with centroid representatives and trace.
+
+    Returns ``(rep_points [N,3], rep_mask [N] bool, trace [N] i32)``:
+    representative rows keep their original row position (rep_mask marks one
+    row per occupied voxel; its coordinates become the voxel centroid — the
+    same semantics as Open3D's averaging voxel_down_sample), and ``trace[i]``
+    is the representative row index for original point i (-1 for dead rows).
+    """
+    if mask is None:
+        mask = jnp.ones(points.shape[0], dtype=bool)
+    return _voxel_downsample_body(points, voxel_size, mask)
+
+
+@jax.jit
+def voxel_downsample_batch(
+    points: Array,  # [T, P, 3]
+    voxel_sizes: Array,  # [T] f32 — traced, may differ per tree
+    masks: Array,  # [T, P]
+) -> tuple[Array, Array, Array]:
+    """Batched voxel downsample with PER-TREE voxel sizes in one dispatch.
+    The plot pipeline's resolution ladder uses this to probe/realise every
+    tree's rung simultaneously instead of one host-synced dispatch per tree
+    per rung."""
+    return jax.vmap(_voxel_downsample_body)(points, voxel_sizes, masks)
+
+
+@jax.jit
+def voxel_count_batch(
+    points: Array,  # [T, P, 3]
+    voxel_sizes: Array,  # [T] f32
+    masks: Array,  # [T, P]
+) -> Array:
+    """Occupied-voxel count per tree at per-tree voxel sizes — the ladder's
+    search probe. One batched lexsort; no centroid/trace work."""
+
+    def one(pts, v, mask):
+        finite = mask & jnp.all(jnp.isfinite(pts), axis=-1)
+        safe = jnp.where(finite[:, None], pts, 0.0)
+        lo = jnp.min(jnp.where(finite[:, None], safe, jnp.inf), axis=0)
+        lo = jnp.where(jnp.isfinite(lo), lo, 0.0)
+        coords = jnp.floor((safe - lo[None, :]) / v).astype(jnp.int32)
+        coords = jnp.where(finite[:, None], coords, _INT32_MAX)
+        order = jnp.lexsort((coords[:, 2], coords[:, 1], coords[:, 0]))
+        cs = coords[order]
+        live = finite[order]
+        new_seg = jnp.concatenate(
+            [jnp.array([True]), jnp.any(cs[1:] != cs[:-1], axis=1)]
+        )
+        return jnp.sum((new_seg & live).astype(jnp.int32))
+
+    return jax.vmap(one)(points, voxel_sizes, masks)
+
+
+@jax.jit
+def compact_rows_batch(points: Array, masks: Array) -> tuple[Array, Array]:
+    """Device-side batched compaction: per batch row, move live entries to
+    the front (stable). Returns ``(points', masks')`` at the same capacity —
+    callers slice the leading columns once the live maximum is known."""
+    order = jnp.argsort(jnp.where(masks, 0, 1), axis=1, stable=True)
+    pts = jnp.take_along_axis(points, order[..., None], axis=1)
+    msk = jnp.take_along_axis(masks, order, axis=1)
+    return jnp.where(msk[..., None], pts, 0.0), msk
 
 
 def compact_rows(

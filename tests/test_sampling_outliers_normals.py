@@ -101,3 +101,35 @@ def test_stem_filter_on_cylinder(cylinder_points):
     assert np.median(ang) < 15
     kept = np.asarray(filter_by_norm(n, mask, angle_cutoff=20.0))
     assert kept.mean() > 0.8
+
+
+def test_voxel_batch_kernels_match_single(rng):
+    """voxel_count_batch / voxel_downsample_batch (per-tree traced voxel
+    sizes) agree with the static-voxel single-tree kernel."""
+    from pyqsm_tpu.ops.sampling import (
+        compact_rows_batch, voxel_count_batch, voxel_downsample_batch,
+    )
+
+    t, p = 3, 2000
+    pts = rng.uniform(0, 4, size=(t, p, 3)).astype(np.float32)
+    masks = rng.uniform(size=(t, p)) < 0.8
+    sizes = np.array([0.2, 0.35, 0.5], np.float32)
+    counts = np.asarray(voxel_count_batch(
+        jnp.asarray(pts), jnp.asarray(sizes), jnp.asarray(masks)))
+    bp, bm, _ = voxel_downsample_batch(
+        jnp.asarray(pts), jnp.asarray(sizes), jnp.asarray(masks))
+    cp, cm = compact_rows_batch(bp, bm)
+    cp, cm = np.asarray(cp), np.asarray(cm)
+    for i in range(t):
+        rp, rm, _ = voxel_downsample(
+            jnp.asarray(pts[i]), float(sizes[i]), jnp.asarray(masks[i]))
+        rm = np.asarray(rm)
+        assert counts[i] == rm.sum()
+        assert np.asarray(bm)[i].sum() == rm.sum()
+        # batched reps equal the single-tree reps (as sets of centroids)
+        a = np.sort(np.asarray(rp)[rm], axis=0)
+        b = np.sort(cp[i][cm[i]], axis=0)
+        np.testing.assert_allclose(a, b, atol=1e-5)
+        # compaction is front-packed
+        k = cm[i].sum()
+        assert cm[i][:k].all() and not cm[i][k:].any()
