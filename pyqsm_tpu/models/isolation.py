@@ -154,15 +154,14 @@ def id_trunk_bases(
             high = zoom_mask(points, high, jnp.asarray(region), reverse=True)
     # Compact the low slice to a small padded buffer before the O(M²) ops —
     # running them masked over the full array wastes 25x the work (the slice
-    # is a few % of the cloud).
-    rows = np.flatnonzero(np.asarray(low))
-    m = len(rows)
+    # is a few % of the cloud). Device-side nonzero: only the count syncs.
+    from pyqsm_tpu.ops.sampling import nonzero_rows
+
+    m = int(jnp.sum(low))
     cap = 1024
     while cap < m:
         cap *= 2
-    buf_idx = np.full(cap, -1, np.int32)
-    buf_idx[:m] = rows
-    bidx = jnp.asarray(buf_idx)
+    bidx = nonzero_rows(low, cap)
     bmask = bidx >= 0
     bpts = points[jnp.maximum(bidx, 0)]
 

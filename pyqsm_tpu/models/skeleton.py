@@ -172,13 +172,14 @@ def extract_skeleton(
     )
 
 
-@partial(jax.jit, static_argnames=("n_neighbors",))
-def _contract_init_batch(pts, msk, n_neighbors, moll, c_factor, a_factor):
+@partial(jax.jit, static_argnames=("n_neighbors", "banded"))
+def _contract_init_batch(pts, msk, n_neighbors, moll, c_factor, a_factor,
+                         banded=False):
     """One dispatch: per-tree OBB frames, initial Laplacians, weights."""
 
     def one(p, m):
         center, axes_, half = obb_axes(p, m)
-        L0 = point_cloud_laplacian(p, m, n_neighbors, moll)
+        L0 = point_cloud_laplacian(p, m, n_neighbors, moll, banded=banded)
         m0 = L0.mass
         m0_mean = jnp.sum(jnp.where(m, m0, 0.0)) / jnp.maximum(jnp.sum(m), 1)
         wl0 = jnp.full(p.shape[0], c_factor * 1e3 * jnp.sqrt(m0_mean))
@@ -188,7 +189,7 @@ def _contract_init_batch(pts, msk, n_neighbors, moll, c_factor, a_factor):
     return jax.vmap(one)(pts, msk)
 
 
-@partial(jax.jit, static_argnames=("n_neighbors", "cg_iters"))
+@partial(jax.jit, static_argnames=("n_neighbors", "cg_iters", "banded"))
 def _contract_step_batch(
     pts: Array,  # [T, P, 3]
     masks: Array,  # [T, P]
@@ -200,6 +201,7 @@ def _contract_step_batch(
     moll: float, contraction_factor: float,
     max_contraction: float, max_attraction: float,
     termination_ratio: float, cg_iters: int, cg_tol: float = 3e-4,
+    banded: bool = False,
 ):
     """ONE contraction iteration for a batch of trees (vmapped solve +
     rebuild), gated per tree on its own termination. Host-stepping the
@@ -215,7 +217,8 @@ def _contract_step_batch(
         new = clamp_to_obb(new, center, axes, half)
         new = jnp.where((mask & active)[:, None], new, pts)
         step_shift = (pts - new) * mask[:, None].astype(pts.dtype)
-        L_new = point_cloud_laplacian(new, mask, n_neighbors, moll)
+        L_new = point_cloud_laplacian(new, mask, n_neighbors, moll,
+                                      banded=banded)
         m = L_new.mass
         m_mean = jnp.sum(jnp.where(mask, m, 0.0)) / jnp.maximum(
             jnp.sum(mask), 1)
@@ -245,6 +248,13 @@ def _contract_step_batch(
     return pts_out, shift, first, L_out, wl_out, wh_out, ratio_out, it_out
 
 
+@jax.jit
+def _morton_perm_batch(points, masks):
+    from pyqsm_tpu.ops.sparse import morton_codes
+
+    return jax.vmap(lambda p, m: jnp.argsort(morton_codes(p, m)))(points, masks)
+
+
 def extract_skeleton_batch(
     points: Array,  # [T, P, 3] — trees padded to one capacity bucket
     masks: Array,  # [T, P]
@@ -253,6 +263,7 @@ def extract_skeleton_batch(
     mesh=None,
     two_level: bool = True,
     coarse_stride: int = 4,
+    _morton: bool = True,
 ) -> SkeletonResult:
     """Contract a BATCH of trees, HOST-STEPPED: one contraction iteration
     (vmapped solve + Laplacian rebuild) per device dispatch, with the
@@ -276,9 +287,27 @@ def extract_skeleton_batch(
     throughput of the single-level loop at equal topology quality (tested);
     ``first_shift`` is computed EXACTLY by running the first full-res
     iteration from the original positions (it feeds the epiphyte split,
-    ref canopy_metrics.get_shift)."""
+    ref canopy_metrics.get_shift).
+
+    Rows are internally permuted into Morton order (outputs are returned in
+    the caller's row order): spatial locality in the row index is what lets
+    the Laplacian store its weights block-banded and run the CG matvecs on
+    the MXU (``ops/sparse.build_banded``) instead of through row gathers."""
     if cfg is None:
         cfg = SkeletonizeConfig()
+    if _morton:
+        perm = _morton_perm_batch(points, masks)
+        pts_m = jnp.take_along_axis(points, perm[..., None], axis=1)
+        msk_m = jnp.take_along_axis(masks, perm, axis=1)
+        res = extract_skeleton_batch(
+            pts_m, msk_m, cfg, cg_iters=cg_iters, mesh=mesh,
+            two_level=two_level, coarse_stride=coarse_stride, _morton=False)
+        inv = jnp.argsort(perm, axis=1)
+        return SkeletonResult(
+            jnp.take_along_axis(res.contracted, inv[..., None], axis=1),
+            jnp.take_along_axis(res.total_shift, inv[..., None], axis=1),
+            jnp.take_along_axis(res.first_shift, inv[..., None], axis=1),
+            res.iterations, res.volume_ratio)
     termination = cfg.termination_ratio
     contraction = cfg.init_contraction
     if cfg.step_wise_contraction_amplification == "auto":
@@ -290,6 +319,7 @@ def extract_skeleton_batch(
             points, masks, cfg, termination, contraction, cg_iters,
             mesh=mesh, stride=coarse_stride)
 
+    banded = points.shape[1] % 256 == 0
     t = points.shape[0]
     pad = 0
     if mesh is not None:
@@ -308,7 +338,7 @@ def extract_skeleton_batch(
 
     center, obb_ax, half, L, m0, m0_mean, wl, wh = _contract_init_batch(
         points, masks, cfg.n_neighbors, cfg.moll, contraction,
-        cfg.init_attraction)
+        cfg.init_attraction, banded=banded)
     tb = points.shape[0]
     shift = jnp.zeros_like(points)
     first = jnp.zeros_like(points)
@@ -328,7 +358,7 @@ def extract_skeleton_batch(
             contraction_factor=contraction,
             max_contraction=cfg.max_contraction,
             max_attraction=cfg.max_attraction,
-            termination_ratio=termination, cg_iters=cg_iters,
+            termination_ratio=termination, cg_iters=cg_iters, banded=banded,
         )
     out = SkeletonResult(pts, shift, first, it, ratio)
     if pad:
@@ -336,10 +366,11 @@ def extract_skeleton_batch(
     return out
 
 
-@partial(jax.jit, static_argnames=("n_neighbors",))
-def _laplacian_batch(pts, masks, n_neighbors, moll):
+@partial(jax.jit, static_argnames=("n_neighbors", "banded"))
+def _laplacian_batch(pts, masks, n_neighbors, moll, banded=False):
     return jax.vmap(
-        lambda p, m: point_cloud_laplacian(p, m, n_neighbors, moll)
+        lambda p, m: point_cloud_laplacian(p, m, n_neighbors, moll,
+                                           banded=banded)
     )(pts, masks)
 
 
@@ -383,17 +414,19 @@ def _extract_skeleton_two_level(
         cfg, termination_ratio=termination, init_contraction=contraction,
         step_wise_contraction_amplification="fixed")
 
+    banded = points.shape[1] % 256 == 0
+
     # 1. coarse pass: the bulk of the motion at 1/stride the matvec cost
-    # (strided rows of the padded buffers stay spatially uniform — they're
-    # in voxel-scan order)
+    # (strided rows of the caller-Morton-ordered buffers stay spatially
+    # uniform — a stride of a space-filling order is a uniform subsample)
     coarse = extract_skeleton_batch(
         points[:, ::stride], masks[:, ::stride], cfg_fixed,
-        cg_iters=cg_iters, mesh=None, two_level=False)
+        cg_iters=cg_iters, mesh=None, two_level=False, _morton=False)
 
     # 2. init at ORIGINAL fine resolution (masses anchor the termination)
     center, obb_ax, half, L0, m0, m0_mean, wl0, wh0 = _contract_init_batch(
         points, masks, cfg.n_neighbors, cfg.moll, contraction,
-        cfg.init_attraction)
+        cfg.init_attraction, banded=banded)
     tb = points.shape[0]
     live_tree = jnp.any(masks, axis=1)
     ratio0 = jnp.where(live_tree, jnp.ones(tb, points.dtype), 0.0)
@@ -409,7 +442,7 @@ def _extract_skeleton_two_level(
         contraction_factor=contraction,
         max_contraction=cfg.max_contraction,
         max_attraction=cfg.max_attraction,
-        termination_ratio=termination, cg_iters=cg_iters)
+        termination_ratio=termination, cg_iters=cg_iters, banded=banded)
 
     # 4. transfer the coarse displacement field to the full cloud
     fine_init = _coarse_transfer(points, masks, points[:, ::stride],
@@ -418,7 +451,8 @@ def _extract_skeleton_two_level(
     # 5. polish at full resolution, continuing the coarse weight schedule
     k = coarse.iterations.astype(points.dtype)
     wl = jnp.clip(wl0 * contraction ** k[:, None], 0.1, cfg.max_contraction)
-    L = _laplacian_batch(fine_init, masks, cfg.n_neighbors, cfg.moll)
+    L = _laplacian_batch(fine_init, masks, cfg.n_neighbors, cfg.moll,
+                         banded=banded)
     m_cur = L.mass
     wh = jnp.clip(wh0 * jnp.sqrt(m0 / jnp.maximum(m_cur, 1e-30)), 0.1,
                   cfg.max_attraction)
@@ -438,7 +472,7 @@ def _extract_skeleton_two_level(
             contraction_factor=contraction,
             max_contraction=cfg.max_contraction,
             max_attraction=cfg.max_attraction,
-            termination_ratio=termination, cg_iters=cg_iters,
+            termination_ratio=termination, cg_iters=cg_iters, banded=banded,
         )
     out = SkeletonResult(pts, shift, first, it, ratio)
     if pad:

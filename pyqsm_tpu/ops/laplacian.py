@@ -22,12 +22,13 @@ from pyqsm_tpu.ops.sparse import ELLLaplacian, build_transpose_ell
 Array = jax.Array
 
 
-@partial(jax.jit, static_argnames=("n_neighbors",))
+@partial(jax.jit, static_argnames=("n_neighbors", "banded"))
 def point_cloud_laplacian(
     points: Array,
     mask: Array,
     n_neighbors: int = 20,
     mollify_factor: float = 1e-6,
+    banded: bool = False,
 ) -> ELLLaplacian:
     """Build the ELL Laplacian + mass diagonal.
 
@@ -54,6 +55,22 @@ def point_cloud_laplacian(
     w = jnp.where(valid, w, 0.0)
     deg = jnp.sum(w, axis=1)
     mass = jnp.where(mask, jnp.pi * mean_d * mean_d, 1e-12)
+    if banded:
+        # block-banded weights (callers Morton-order the rows first): both
+        # CG matvecs become batched MXU matmuls — the ELL row gathers were
+        # ~95% of contraction wall time (0.30 s per CG iteration at
+        # [8, 32768] k=20 measured on v5e). Spill list keeps exactness;
+        # overflow lax.cond's back to the exact gather/scatter path.
+        from pyqsm_tpu.ops.sparse import build_banded
+
+        # spill cap 4·N: measured Morton-order spill on plot-scale trees is
+        # ~15-20% of N·k edges (Z-order octant-jump tail) — 4·N covers it
+        # with room; the spill gather is still ~15x smaller than full ELL
+        b_w, s_i, s_j, s_w, s_over = build_banded(
+            idx, w, spill_cap=4 * points.shape[0])
+        return ELLLaplacian(nbr_idx=idx, w=w, deg=deg, mass=mass,
+                            b_w=b_w, s_i=s_i, s_j=s_j, s_w=s_w,
+                            s_overflow=s_over)
     # transpose ELL once per rebuild: Lᵀ matvecs inside CG become gathers
     # instead of a 0.8M-entry scatter per iteration (the solve's hot op).
     # overflow flags in-degrees beyond the slots (contracted clouds collapse

@@ -145,25 +145,32 @@ def compact_rows_batch(points: Array, masks: Array) -> tuple[Array, Array]:
     return jnp.where(msk[..., None], pts, 0.0), msk
 
 
+@partial(jax.jit, static_argnames=("cap",))
+def nonzero_rows(mask: Array, cap: int) -> Array:
+    """Device-side compaction index: the live row indices front-packed into
+    a ``cap``-length buffer (-1 padding). The only host sync a caller needs
+    is the 4-byte live COUNT (to pick a static cap) — not the full mask
+    (a 10M-point bool mask is a 10 MB transfer over the TPU tunnel)."""
+    return jnp.nonzero(mask, size=cap, fill_value=-1)[0].astype(jnp.int32)
+
+
 def compact_rows(
     points: Array,
     mask: Array,
     *extra: Array,
     pad_multiple: int = 2048,
 ) -> tuple:
-    """Host-side: gather live rows into a fresh buffer padded to the next
-    multiple of ``pad_multiple``. Use at capacity boundaries — padded
-    capacity drives the cost of every downstream O(N·M) kernel (a 1M-capacity
-    buffer with 40k live rows runs brute-force kNN at 1M², not 40k²).
+    """Gather live rows into a fresh buffer padded to the next multiple of
+    ``pad_multiple``. Use at capacity boundaries — padded capacity drives
+    the cost of every downstream O(N·M) kernel (a 1M-capacity buffer with
+    40k live rows runs brute-force kNN at 1M², not 40k²). Device-resident:
+    only the live count crosses to the host.
 
     Returns ``(points', mask', rows, *extra')`` where ``rows`` maps compact
     rows back to original indices (-1 on padding)."""
-    rows_np = np.flatnonzero(np.asarray(mask))
-    m = len(rows_np)
+    m = int(jnp.sum(mask))
     cap = max(pad_multiple, -pad_multiple * (-m // pad_multiple))
-    buf = np.full(cap, -1, np.int32)
-    buf[:m] = rows_np
-    rows = jnp.asarray(buf)
+    rows = nonzero_rows(mask, cap)
     valid = rows >= 0
     safe = jnp.maximum(rows, 0)
     out_pts = jnp.where(valid[:, None], points[safe], 0.0)

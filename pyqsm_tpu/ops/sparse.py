@@ -33,7 +33,19 @@ class ELLLaplacian(NamedTuple):
     ``kt`` slots — when True the gather form would silently drop in-edges
     (contracted clouds collapse onto skeleton junctions where in-degree far
     exceeds 2k), so ``laplacian_rmatvec`` falls back to the exact scatter
-    path via ``lax.cond``."""
+    path via ``lax.cond``.
+
+    ``b_w``/``s_i``/``s_j``/``s_w``/``s_overflow`` optionally carry the
+    BLOCK-BANDED form (``build_banded``): with rows in Morton order, almost
+    every kNN edge lands within ±one 256-row block of the diagonal, so the
+    weight matrix is stored as dense ``[n_blocks, 256, 768]`` window blocks
+    and both matvecs become batched MXU matmuls instead of row gathers —
+    the gathers were ~95% of contraction time (measured 0.30 s per CG
+    iteration at [8, 32768] k=20 on v5e; the banded form moves the same
+    math to the MXU). Out-of-window edges go to the exact spill list
+    (``s_i/s_j/s_w``, segment-sum applied); if the spill capacity overflows,
+    ``s_overflow`` routes the whole matvec back to the exact ELL path via
+    ``lax.cond``, so results are exact for ANY row order."""
 
     nbr_idx: Array  # [N, k] i32, -1 padded
     w: Array  # [N, k] f32, 0 on padding
@@ -42,6 +54,105 @@ class ELLLaplacian(NamedTuple):
     t_idx: Array | None = None  # [N, kt] i32 in-edge sources, -1 padded
     t_w: Array | None = None  # [N, kt] f32
     t_overflow: Array | None = None  # scalar bool: max in-degree > kt
+    b_w: Array | None = None  # [nb, BS, 3·BS] in-window weights
+    s_i: Array | None = None  # [R] i32 spill edge rows (N = dead)
+    s_j: Array | None = None  # [R] i32 spill edge cols
+    s_w: Array | None = None  # [R] f32 spill weights
+    s_overflow: Array | None = None  # scalar bool: spill edges > R
+
+
+BAND_BLOCK = 256  # rows per banded block; window = 3 blocks
+
+
+def morton_codes(points: Array, mask: Array) -> Array:
+    """30-bit Morton (Z-order) codes over the masked bbox — sorting rows by
+    code gives the spatial locality the block-banded Laplacian needs (kNN
+    neighbors land near the diagonal). Dead rows get INT32_MAX."""
+    finite = mask & jnp.all(jnp.isfinite(points), axis=-1)
+    safe = jnp.where(finite[:, None], points, 0.0)
+    lo = jnp.min(jnp.where(finite[:, None], safe, jnp.inf), axis=0)
+    hi = jnp.max(jnp.where(finite[:, None], safe, -jnp.inf), axis=0)
+    lo = jnp.where(jnp.isfinite(lo), lo, 0.0)
+    hi = jnp.where(jnp.isfinite(hi), hi, 1.0)
+    scale = 1024.0 / jnp.maximum(hi - lo, 1e-9)
+    q = jnp.clip((safe - lo[None, :]) * scale[None, :], 0, 1023).astype(jnp.int32)
+
+    def spread(v):  # interleave 10 bits with two zero bits
+        v = (v | (v << 16)) & 0x030000FF
+        v = (v | (v << 8)) & 0x0300F00F
+        v = (v | (v << 4)) & 0x030C30C3
+        v = (v | (v << 2)) & 0x09249249
+        return v
+
+    code = spread(q[:, 0]) | (spread(q[:, 1]) << 1) | (spread(q[:, 2]) << 2)
+    return jnp.where(finite, code, jnp.int32(2**31 - 1))
+
+
+def build_banded(
+    nbr_idx: Array, w: Array, spill_cap: int
+) -> tuple[Array, Array, Array, Array, Array]:
+    """Block-banded form of the ELL weights (rows should be Morton-ordered
+    first). Returns ``(b_w, s_i, s_j, s_w, overflow)``; exact together with
+    the spill unless ``overflow``."""
+    n, k = nbr_idx.shape
+    bs = BAND_BLOCK
+    nb = n // bs
+    assert nb * bs == n, "row count must be a multiple of BAND_BLOCK"
+    row = jax.lax.broadcasted_iota(jnp.int32, (n, k), 0)
+    blk = row // bs
+    cpos = nbr_idx - (blk - 1) * bs
+    valid = nbr_idx >= 0
+    in_win = valid & (cpos >= 0) & (cpos < 3 * bs)
+    b_w = jnp.zeros((nb, bs, 3 * bs), w.dtype).at[
+        jnp.where(in_win, blk, nb),
+        row % bs,
+        jnp.where(in_win, cpos, 0),
+    ].add(jnp.where(in_win, w, 0.0), mode="drop")
+
+    spill = valid & ~in_win
+    flat_s = spill.reshape(-1)
+    order = jnp.argsort(~flat_s)  # spill edges first, stable
+    take = order[:spill_cap]
+    sel = flat_s[take]
+    s_i = jnp.where(sel, (take // k).astype(jnp.int32), n)
+    s_j = jnp.where(sel, nbr_idx.reshape(-1)[take], 0)
+    s_w = jnp.where(sel, w.reshape(-1)[take], 0.0)
+    overflow = jnp.sum(flat_s) > spill_cap
+    return b_w, s_i, s_j, s_w, overflow
+
+
+def _band_apply(b_w: Array, x: Array) -> Array:
+    """Σ_j W_ij x_j with W in block-banded form — batched MXU matmul."""
+    n = b_w.shape[0] * BAND_BLOCK
+    xb = x.reshape(-1, BAND_BLOCK, x.shape[-1])
+    zero = jnp.zeros_like(xb[:1])
+    prev = jnp.concatenate([zero, xb[:-1]], axis=0)
+    nxt = jnp.concatenate([xb[1:], zero], axis=0)
+    xw = jnp.concatenate([prev, xb, nxt], axis=1)  # [nb, 3·BS, C]
+    y = jnp.einsum("brc,bcd->brd", b_w, xw,
+                   preferred_element_type=jnp.float32)
+    return y.reshape(n, x.shape[-1])
+
+
+def _band_apply_t(b_w: Array, x: Array) -> Array:
+    """Σ_i W_ij x_i (transpose apply) in block-banded form."""
+    n = b_w.shape[0] * BAND_BLOCK
+    xb = x.reshape(-1, BAND_BLOCK, x.shape[-1])
+    contrib = jnp.einsum("brc,brd->bcd", b_w, xb,
+                         preferred_element_type=jnp.float32)  # [nb, 3·BS, C]
+    t0, t1, t2 = jnp.split(contrib, 3, axis=1)
+    zero = jnp.zeros_like(t1[:1])
+    # block b's first third lands on block b-1's rows, last third on b+1's
+    acc = t1 + jnp.concatenate([t0[1:], zero], axis=0) + jnp.concatenate(
+        [zero, t2[:-1]], axis=0)
+    return acc.reshape(n, x.shape[-1])
+
+
+def _spill_apply(s_i, s_j, s_w, x, n, transpose=False):
+    src = s_i if transpose else s_j
+    dst = s_j if transpose else s_i
+    contrib = s_w[:, None] * x[jnp.clip(src, 0, n - 1)]
+    return jax.ops.segment_sum(contrib, jnp.minimum(dst, n), num_segments=n + 1)[:n]
 
 
 def build_transpose_ell(
@@ -78,12 +189,25 @@ def build_transpose_ell(
     return t_idx, t_w, overflow
 
 
-def laplacian_matvec(L: ELLLaplacian, x: Array) -> Array:
-    """L @ x for x [N, C]."""
+def _matvec_ell(L: ELLLaplacian, x: Array) -> Array:
     gidx = jnp.maximum(L.nbr_idx, 0)
     nbr_x = x[gidx]  # [N, k, C]
     acc = jnp.einsum("nk,nkc->nc", L.w, nbr_x)
     return L.deg[:, None] * x - acc
+
+
+def laplacian_matvec(L: ELLLaplacian, x: Array) -> Array:
+    """L @ x for x [N, C]. Block-banded MXU path when built (exact spill;
+    ``lax.cond`` back to the ELL gather path on spill overflow)."""
+    if L.b_w is None:
+        return _matvec_ell(L, x)
+
+    def banded(x):
+        n = x.shape[0]
+        acc = _band_apply(L.b_w, x) + _spill_apply(L.s_i, L.s_j, L.s_w, x, n)
+        return L.deg[:, None] * x - acc
+
+    return jax.lax.cond(L.s_overflow, lambda x: _matvec_ell(L, x), banded, x)
 
 
 def _rmatvec_scatter(L: ELLLaplacian, x: Array) -> Array:
@@ -98,9 +222,20 @@ def _rmatvec_scatter(L: ELLLaplacian, x: Array) -> Array:
 
 
 def laplacian_rmatvec(L: ELLLaplacian, x: Array) -> Array:
-    """Lᵀ @ x for x [N, C]. Gather form via the prebuilt transpose ELL when
-    available AND lossless (the CG hot path); exact segment-sum scatter when
-    the transpose overflowed its slots or no transpose was built."""
+    """Lᵀ @ x for x [N, C]. Preference order: block-banded MXU form (exact
+    spill, overflow-guarded) → prebuilt transpose ELL gather (lossless
+    only) → exact segment-sum scatter."""
+    if L.b_w is not None:
+
+        def banded(x):
+            n = x.shape[0]
+            acc = _band_apply_t(L.b_w, x) + _spill_apply(
+                L.s_i, L.s_j, L.s_w, x, n, transpose=True)
+            return L.deg[:, None] * x - acc
+
+        return jax.lax.cond(
+            L.s_overflow, lambda x: _rmatvec_scatter(L, x), banded, x)
+
     if L.t_idx is None:
         return _rmatvec_scatter(L, x)
 

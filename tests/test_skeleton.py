@@ -290,3 +290,109 @@ def test_two_level_contraction_matches_single_level(rng):
     f = np.asarray(two.first_shift[0])
     assert np.abs(f[: len(pts)]).max() > 1e-4
     assert np.abs(f[len(pts):]).max() == 0.0
+
+
+def _banded_from_ell(L, spill_cap):
+    from pyqsm_tpu.ops.sparse import build_banded
+
+    b_w, s_i, s_j, s_w, over = build_banded(L.nbr_idx, L.w, spill_cap)
+    return L._replace(b_w=b_w, s_i=s_i, s_j=s_j, s_w=s_w, s_overflow=over)
+
+
+def _random_ell_256(rng, n=512, k=6, local=False):
+    idx = np.full((n, k), -1, np.int32)
+    w = np.zeros((n, k), np.float32)
+    for i in range(n):
+        if local:  # neighbors near the diagonal (Morton-like locality)
+            lo, hi = max(0, i - 100), min(n, i + 100)
+            pool = [j for j in range(lo, hi) if j != i]
+        else:
+            pool = [j for j in range(n) if j != i]
+        nbrs = rng.choice(pool, k - 1, replace=False)
+        idx[i, : k - 1] = nbrs
+        w[i, : k - 1] = rng.uniform(0.1, 1.0, k - 1)
+    deg = w.sum(1)
+    return ELLLaplacian(jnp.asarray(idx), jnp.asarray(w), jnp.asarray(deg),
+                        jnp.ones(n))
+
+
+def test_banded_matvecs_match_dense(rng):
+    """Block-banded MXU form (local graph, small spill) is exact."""
+    L = _random_ell_256(rng, local=True)
+    Lb = _banded_from_ell(L, spill_cap=512)
+    assert not bool(Lb.s_overflow)
+    A = dense_L(L)
+    x = rng.normal(size=(512, 3)).astype(np.float32)
+    np.testing.assert_allclose(
+        np.asarray(laplacian_matvec(Lb, jnp.asarray(x))), A @ x,
+        rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(
+        np.asarray(laplacian_rmatvec(Lb, jnp.asarray(x))), A.T @ x,
+        rtol=1e-4, atol=1e-4)
+
+
+def test_banded_spill_heavy_and_overflow(rng):
+    """Non-local graph: spill list carries far edges exactly; with a too-
+    small spill cap the overflow cond falls back to the exact ELL path."""
+    L = _random_ell_256(rng, n=1024, local=False)
+    A = dense_L(L)
+    x = rng.normal(size=(1024, 2)).astype(np.float32)
+    Lb = _banded_from_ell(L, spill_cap=1024 * 6)  # roomy: exact via spill
+    assert not bool(Lb.s_overflow)
+    np.testing.assert_allclose(
+        np.asarray(laplacian_matvec(Lb, jnp.asarray(x))), A @ x,
+        rtol=1e-4, atol=1e-4)
+    Lo = _banded_from_ell(L, spill_cap=8)  # forced overflow
+    assert bool(Lo.s_overflow)
+    np.testing.assert_allclose(
+        np.asarray(laplacian_matvec(Lo, jnp.asarray(x))), A @ x,
+        rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(
+        np.asarray(laplacian_rmatvec(Lo, jnp.asarray(x))), A.T @ x,
+        rtol=1e-4, atol=1e-4)
+
+
+def test_morton_banded_spill_fraction(rng):
+    """On a Morton-ordered real tree cloud the spill stays small — the
+    banded path (not the fallback) is what actually runs."""
+    from pyqsm_tpu.ops.sparse import morton_codes, build_banded
+    from pyqsm_tpu.ops.neighbors import knn
+
+    pts = synthetic_tree(n_per=2048)[:4096]
+    p = jnp.asarray(pts)
+    m = jnp.ones(4096, bool)
+    order = jnp.argsort(morton_codes(p, m))
+    p = p[order]
+    d, idx = knn(p, p, 21, query_mask=m, point_mask=m)
+    idx = idx[:, 1:]
+    w = jnp.where(idx >= 0, 1.0, 0.0)
+    b_w, s_i, s_j, s_w, over = build_banded(idx, w, spill_cap=4 * 4096)
+    assert not bool(over)
+    spill_edges = int(jnp.sum(s_i < 4096))
+    total = int(jnp.sum(idx >= 0))
+    # Z-order tail: spill must stay a small fraction (the banded MXU path,
+    # not the fallback, is what runs) and within the 4N default cap
+    assert spill_edges / total < 0.25, f"spill {spill_edges}/{total}"
+    assert spill_edges <= 4 * 4096
+
+
+def test_extract_skeleton_batch_banded_matches_quality(rng):
+    """Morton+banded batch contraction contracts a branch onto its axis the
+    same way the single-tree ELL path does."""
+    pts = synthetic_branch(2048)
+    cap = 2048
+    bp = jnp.asarray(pts)[None]
+    bm = jnp.ones((1, cap), bool)
+    from pyqsm_tpu.models.skeleton import extract_skeleton_batch
+
+    cfg = SkeletonizeConfig(max_iter=8)
+    res_b = extract_skeleton_batch(bp, bm, cfg, cg_iters=40, two_level=False)
+    res_s = extract_skeleton(jnp.asarray(pts), jnp.ones(cap, bool), cfg,
+                             cg_iters=40)
+    # same contraction amount (mean |shift|) and same contracted spread
+    sb = np.linalg.norm(np.asarray(res_b.total_shift[0]), axis=1).mean()
+    ss = np.linalg.norm(np.asarray(res_s.total_shift), axis=1).mean()
+    assert abs(sb - ss) / max(ss, 1e-9) < 0.05
+    cb = np.asarray(res_b.contracted[0]).std(0)
+    cs = np.asarray(res_s.contracted).std(0)
+    np.testing.assert_allclose(cb, cs, rtol=0.1, atol=1e-3)
