@@ -255,6 +255,68 @@ def _morton_perm_batch(points, masks):
     return jax.vmap(lambda p, m: jnp.argsort(morton_codes(p, m)))(points, masks)
 
 
+@partial(jax.jit, static_argnames=("n_neighbors",))
+def _reorder_rebuild_batch(pts, masks, shift, first, wl, wh, m0,
+                           n_neighbors, moll):
+    """Re-Morton every tree's rows on its CURRENT (contracted) positions and
+    rebuild the banded Laplacians — one dispatch. Contraction collapses
+    far-apart rows onto the same skeleton line, so spill vs the ORIGINAL
+    Morton order grows over iterations; re-sorting on current geometry
+    restores the banded window's locality."""
+    perm = _morton_perm_batch(pts, masks)
+
+    def take2(a):
+        return jnp.take_along_axis(a, perm, axis=1)
+
+    def take3(a):
+        return jnp.take_along_axis(a, perm[..., None], axis=1)
+
+    pts, masks = take3(pts), take2(masks)
+    shift, first = take3(shift), take3(first)
+    wl, wh, m0 = take2(wl), take2(wh), take2(m0)
+    L = jax.vmap(
+        lambda p, m: point_cloud_laplacian(p, m, n_neighbors, moll,
+                                           banded=True)
+    )(pts, masks)
+    return perm, pts, masks, shift, first, wl, wh, m0, L
+
+
+def _banded_guard(pts, masks, shift, first, wl, wh, m0, L, cum, banded_now,
+                  active, n_neighbors, moll):
+    """Host-stepped spill-overflow rescue. The banded matvecs apply their
+    spill list unconditionally (a traced overflow cond under vmap runs BOTH
+    branches — the original sin that made banded only 1.35x ELL), so a
+    lossy L must never reach a solve: between dispatches, if any LIVE
+    tree's spill overflowed, re-Morton the batch on current positions and
+    rebuild; if an overflow survives the re-sort, drop the whole batch to
+    the exact ELL path. ``cum`` tracks the composed permutation (None until
+    a re-sort happens) so callers can restore their input row order."""
+    if not banded_now or not bool(jnp.any(L.s_overflow & active)):
+        return pts, masks, shift, first, wl, wh, m0, L, cum, banded_now
+    if cum is None:
+        cum = jnp.broadcast_to(
+            jnp.arange(pts.shape[1], dtype=jnp.int32), masks.shape)
+    perm, pts, masks, shift, first, wl, wh, m0, L = _reorder_rebuild_batch(
+        pts, masks, shift, first, wl, wh, m0, n_neighbors, moll)
+    cum = jnp.take_along_axis(cum, perm, axis=1)
+    if bool(jnp.any(L.s_overflow & active)):
+        L = _laplacian_batch(pts, masks, n_neighbors, moll, banded=False)
+        banded_now = False
+    return pts, masks, shift, first, wl, wh, m0, L, cum, banded_now
+
+
+def _unpermute_result(res: SkeletonResult, cum) -> SkeletonResult:
+    """Map a (possibly re-sorted) batch result back to the caller's rows."""
+    if cum is None:
+        return res
+    inv = jnp.argsort(cum, axis=1)
+    return SkeletonResult(
+        jnp.take_along_axis(res.contracted, inv[..., None], axis=1),
+        jnp.take_along_axis(res.total_shift, inv[..., None], axis=1),
+        jnp.take_along_axis(res.first_shift, inv[..., None], axis=1),
+        res.iterations, res.volume_ratio)
+
+
 def extract_skeleton_batch(
     points: Array,  # [T, P, 3] — trees padded to one capacity bucket
     masks: Array,  # [T, P]
@@ -348,9 +410,15 @@ def extract_skeleton_batch(
     ratio = jnp.where(live_tree, ratio, 0.0)
     it = jnp.zeros(tb, jnp.int32)
     pts = points
+    cum = None
+    banded_now = banded
     for _ in range(cfg.max_iter):
-        if not bool(jnp.any(ratio > termination)):
+        active = ratio > termination
+        if not bool(jnp.any(active)):
             break
+        pts, masks, shift, first, wl, wh, m0, L, cum, banded_now = \
+            _banded_guard(pts, masks, shift, first, wl, wh, m0, L, cum,
+                          banded_now, active, cfg.n_neighbors, cfg.moll)
         pts, shift, first, L, wl, wh, ratio, it = _contract_step_batch(
             pts, masks, L, wl, wh, shift, first, ratio, it,
             m0_mean, m0, center, obb_ax, half,
@@ -358,9 +426,10 @@ def extract_skeleton_batch(
             contraction_factor=contraction,
             max_contraction=cfg.max_contraction,
             max_attraction=cfg.max_attraction,
-            termination_ratio=termination, cg_iters=cg_iters, banded=banded,
+            termination_ratio=termination, cg_iters=cg_iters,
+            banded=banded_now,
         )
-    out = SkeletonResult(pts, shift, first, it, ratio)
+    out = _unpermute_result(SkeletonResult(pts, shift, first, it, ratio), cum)
     if pad:
         out = jax.tree.map(lambda x: x[:t], out)
     return out
@@ -435,6 +504,13 @@ def _extract_skeleton_two_level(
 
     # 3. EXACT first_shift: one full-res iteration from original positions
     # (feeds the epiphyte split, ref canopy_metrics.get_shift :114-140)
+    # L0's rows are already Morton-ordered on THESE positions, so a spill
+    # overflow here can't be fixed by re-sorting — go straight to exact ELL
+    first_banded = banded
+    if banded and bool(jnp.any(L0.s_overflow & live_tree)):
+        L0 = _laplacian_batch(points, masks, cfg.n_neighbors, cfg.moll,
+                              banded=False)
+        first_banded = False
     _, _, first, _, _, _, _, _ = _contract_step_batch(
         points, masks, L0, wl0, wh0, zero, zero, ratio0, it0,
         m0_mean, m0, center, obb_ax, half,
@@ -442,7 +518,8 @@ def _extract_skeleton_two_level(
         contraction_factor=contraction,
         max_contraction=cfg.max_contraction,
         max_attraction=cfg.max_attraction,
-        termination_ratio=termination, cg_iters=cg_iters, banded=banded)
+        termination_ratio=termination, cg_iters=cg_iters,
+        banded=first_banded)
 
     # 4. transfer the coarse displacement field to the full cloud
     fine_init = _coarse_transfer(points, masks, points[:, ::stride],
@@ -462,9 +539,15 @@ def _extract_skeleton_two_level(
     pts = fine_init
     shift = jnp.where(masks[..., None], points - fine_init, 0.0)
     it = jnp.maximum(coarse.iterations, 1)  # >0: first_shift stays frozen
+    cum = None
+    banded_now = banded
     for _ in range(cfg.max_iter):
-        if not bool(jnp.any(ratio > termination)):
+        active = ratio > termination
+        if not bool(jnp.any(active)):
             break
+        pts, masks, shift, first, wl, wh, m0, L, cum, banded_now = \
+            _banded_guard(pts, masks, shift, first, wl, wh, m0, L, cum,
+                          banded_now, active, cfg.n_neighbors, cfg.moll)
         pts, shift, _, L, wl, wh, ratio, it = _contract_step_batch(
             pts, masks, L, wl, wh, shift, zero, ratio, it,
             m0_mean, m0, center, obb_ax, half,
@@ -472,9 +555,10 @@ def _extract_skeleton_two_level(
             contraction_factor=contraction,
             max_contraction=cfg.max_contraction,
             max_attraction=cfg.max_attraction,
-            termination_ratio=termination, cg_iters=cg_iters, banded=banded,
+            termination_ratio=termination, cg_iters=cg_iters,
+            banded=banded_now,
         )
-    out = SkeletonResult(pts, shift, first, it, ratio)
+    out = _unpermute_result(SkeletonResult(pts, shift, first, it, ratio), cum)
     if pad:
         out = jax.tree.map(lambda x: x[:t], out)
     return out

@@ -63,11 +63,14 @@ def point_cloud_laplacian(
         # overflow lax.cond's back to the exact gather/scatter path.
         from pyqsm_tpu.ops.sparse import build_banded
 
-        # spill cap 4·N: measured Morton-order spill on plot-scale trees is
-        # ~15-20% of N·k edges (Z-order octant-jump tail) — 4·N covers it
-        # with room; the spill gather is still ~15x smaller than full ELL
+        # spill cap 6·N: measured Morton-order spill on plot-scale trees is
+        # ~15-21% of N·k edges (Hilbert measured no better — the spill is
+        # branch-crossing structure, not curve discontinuity), and it can
+        # grow as contraction collapses far-apart rows onto the same
+        # skeleton line. 6·N (30% of N·k at k=20) keeps overflow rare; the
+        # spill gather is still ~3x smaller than full ELL
         b_w, s_i, s_j, s_w, s_over = build_banded(
-            idx, w, spill_cap=4 * points.shape[0])
+            idx, w, spill_cap=6 * points.shape[0])
         return ELLLaplacian(nbr_idx=idx, w=w, deg=deg, mass=mass,
                             b_w=b_w, s_i=s_i, s_j=s_j, s_w=s_w,
                             s_overflow=s_over)

@@ -43,9 +43,12 @@ class ELLLaplacian(NamedTuple):
     the gathers were ~95% of contraction time (measured 0.30 s per CG
     iteration at [8, 32768] k=20 on v5e; the banded form moves the same
     math to the MXU). Out-of-window edges go to the exact spill list
-    (``s_i/s_j/s_w``, segment-sum applied); if the spill capacity overflows,
-    ``s_overflow`` routes the whole matvec back to the exact ELL path via
-    ``lax.cond``, so results are exact for ANY row order."""
+    (``s_i/s_j/s_w``, segment-sum applied). If the spill capacity
+    overflows, the banded form is LOSSY and ``s_overflow`` is True — the
+    matvecs do NOT branch on it (under vmap a traced cond runs both
+    branches); host-stepped callers must check it between dispatches and
+    rebuild (re-sorted rows, or the exact ELL form) before the next
+    solve."""
 
     nbr_idx: Array  # [N, k] i32, -1 padded
     w: Array  # [N, k] f32, 0 on padding
@@ -197,17 +200,21 @@ def _matvec_ell(L: ELLLaplacian, x: Array) -> Array:
 
 
 def laplacian_matvec(L: ELLLaplacian, x: Array) -> Array:
-    """L @ x for x [N, C]. Block-banded MXU path when built (exact spill;
-    ``lax.cond`` back to the ELL gather path on spill overflow)."""
+    """L @ x for x [N, C]. Block-banded MXU path when built.
+
+    The banded path applies banded + spill UNCONDITIONALLY — no traced
+    ``lax.cond`` on ``s_overflow``: under ``vmap`` (the batched contraction)
+    cond lowers to select and BOTH branches execute, which made every CG
+    iteration pay the banded matmuls AND the full ELL gathers (measured:
+    only 1.35x over ELL instead of the expected gap). Callers that
+    host-step the outer loop must check ``s_overflow`` between dispatches
+    and rebuild (re-sorted or ELL) when it fires — see
+    ``models/skeleton.extract_skeleton_batch``."""
     if L.b_w is None:
         return _matvec_ell(L, x)
-
-    def banded(x):
-        n = x.shape[0]
-        acc = _band_apply(L.b_w, x) + _spill_apply(L.s_i, L.s_j, L.s_w, x, n)
-        return L.deg[:, None] * x - acc
-
-    return jax.lax.cond(L.s_overflow, lambda x: _matvec_ell(L, x), banded, x)
+    n = x.shape[0]
+    acc = _band_apply(L.b_w, x) + _spill_apply(L.s_i, L.s_j, L.s_w, x, n)
+    return L.deg[:, None] * x - acc
 
 
 def _rmatvec_scatter(L: ELLLaplacian, x: Array) -> Array:
@@ -226,15 +233,12 @@ def laplacian_rmatvec(L: ELLLaplacian, x: Array) -> Array:
     spill, overflow-guarded) → prebuilt transpose ELL gather (lossless
     only) → exact segment-sum scatter."""
     if L.b_w is not None:
-
-        def banded(x):
-            n = x.shape[0]
-            acc = _band_apply_t(L.b_w, x) + _spill_apply(
-                L.s_i, L.s_j, L.s_w, x, n, transpose=True)
-            return L.deg[:, None] * x - acc
-
-        return jax.lax.cond(
-            L.s_overflow, lambda x: _rmatvec_scatter(L, x), banded, x)
+        # unconditional banded + spill — see laplacian_matvec for why no
+        # traced overflow cond (vmap lowers cond to both-branches select)
+        n = x.shape[0]
+        acc = _band_apply_t(L.b_w, x) + _spill_apply(
+            L.s_i, L.s_j, L.s_w, x, n, transpose=True)
+        return L.deg[:, None] * x - acc
 
     if L.t_idx is None:
         return _rmatvec_scatter(L, x)

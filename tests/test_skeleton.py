@@ -332,8 +332,10 @@ def test_banded_matvecs_match_dense(rng):
 
 
 def test_banded_spill_heavy_and_overflow(rng):
-    """Non-local graph: spill list carries far edges exactly; with a too-
-    small spill cap the overflow cond falls back to the exact ELL path."""
+    """Non-local graph: spill list carries far edges exactly. An overflowed
+    build FLAGS itself (``s_overflow``) — the matvecs are documented-lossy
+    then (no traced cond: under vmap it would run both branches), and the
+    host-stepped contraction loop rebuilds before any solve sees it."""
     L = _random_ell_256(rng, n=1024, local=False)
     A = dense_L(L)
     x = rng.normal(size=(1024, 2)).astype(np.float32)
@@ -342,14 +344,40 @@ def test_banded_spill_heavy_and_overflow(rng):
     np.testing.assert_allclose(
         np.asarray(laplacian_matvec(Lb, jnp.asarray(x))), A @ x,
         rtol=1e-4, atol=1e-4)
-    Lo = _banded_from_ell(L, spill_cap=8)  # forced overflow
+    np.testing.assert_allclose(
+        np.asarray(laplacian_rmatvec(Lb, jnp.asarray(x))), A.T @ x,
+        rtol=1e-4, atol=1e-4)
+    Lo = _banded_from_ell(L, spill_cap=8)  # forced overflow: flagged lossy
     assert bool(Lo.s_overflow)
-    np.testing.assert_allclose(
-        np.asarray(laplacian_matvec(Lo, jnp.asarray(x))), A @ x,
-        rtol=1e-4, atol=1e-4)
-    np.testing.assert_allclose(
-        np.asarray(laplacian_rmatvec(Lo, jnp.asarray(x))), A.T @ x,
-        rtol=1e-4, atol=1e-4)
+
+
+def test_banded_guard_rescues_overflow(rng):
+    """The host guard re-Mortons + rebuilds on spill overflow; a batch whose
+    overflow survives the re-sort drops to the exact ELL path."""
+    from pyqsm_tpu.models.skeleton import _banded_guard
+
+    n = 1024  # >= 4 blocks: a non-local graph genuinely spills the window
+    pts = jnp.asarray(rng.normal(size=(1, n, 3)).astype(np.float32))
+    msk = jnp.ones((1, n), bool)
+    zeros2 = jnp.zeros((1, n), jnp.float32)
+    zeros3 = jnp.zeros((1, n, 3), jnp.float32)
+    L = _random_ell_256(rng, n=n, local=False)
+    # fake a flagged-overflow banded L in a [1, ...] batch
+    Lb = _banded_from_ell(L, spill_cap=8)
+    Lbatch = jax.tree.map(lambda a: a[None], Lb)
+    active = jnp.ones(1, bool)
+    out = _banded_guard(pts, msk, zeros3, zeros3, zeros2, zeros2, zeros2,
+                        Lbatch, None, True, active, 8, 1e-6)
+    (pts2, msk2, _, _, _, _, _, L2, cum, banded_now) = out
+    # guard acted: a permutation is now tracked, and whatever L came back
+    # is safe to solve with (either re-sorted banded w/o overflow, or ELL)
+    assert cum is not None
+    if banded_now:
+        assert not bool(jnp.any(L2.s_overflow))
+    else:
+        assert L2.b_w is None
+    # the tracked permutation is a real permutation of the rows
+    assert sorted(np.asarray(cum[0]).tolist()) == list(range(n))
 
 
 def test_morton_banded_spill_fraction(rng):
