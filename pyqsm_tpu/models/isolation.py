@@ -47,8 +47,6 @@ class GrowthResult(NamedTuple):
     active: Array  # [cluster_cap (or N)] bool — cluster-id-indexed activity at exit
 
 
-@partial(jax.jit, static_argnames=("max_cycles", "min_frontier", "scatter_push",
-                                   "cluster_cap"))
 def region_grow(
     nbr_idx: Array,  # [N, k] radius-graph neighbors (-1 padded)
     seed_labels: Array,  # [N] i32 initial cluster ids (-1 = unclaimed)
@@ -73,7 +71,118 @@ def region_grow(
 
     ``active0``: optional [cluster_cap] activity carried in from a previous
     chunk — lets callers observe growth in host-stepped chunks (TB-3D-style
-    logging, ref tree_isolation.py:81-87) with identical final labels."""
+    logging, ref tree_isolation.py:81-87) with identical final labels.
+
+    Dispatch: at plot scale (rows a multiple of 256, few cluster ids, rows
+    spatially ordered by the caller) the per-cycle claim runs BLOCK-BANDED —
+    the min-id claim over frontier neighbors is a one-hot OR over the radius
+    graph, so the same banded window + exact spill list the contraction CG
+    uses turns the cycle's [N, k] scalar gather (its dominant cost: ~0.24 s
+    per cycle at [1.53M, 16] on v5e) into batched MXU matmuls. Claims are
+    bit-identical to the gather path (same edge set, same min-id
+    tie-break); spill overflow falls back to the gather path."""
+    n, k = nbr_idx.shape
+    use_band = (
+        not scatter_push
+        and cluster_cap is not None
+        and cluster_cap <= 128
+        and n % 256 == 0
+        and n >= 32768
+    )
+    if use_band:
+        b_adj, s_i, s_j, s_w, over = _claim_band(nbr_idx, mask)
+        if not bool(over):
+            return _region_grow_banded(
+                b_adj, s_i, s_j, s_w, seed_labels, mask,
+                max_cycles=max_cycles, min_frontier=min_frontier,
+                cluster_cap=int(cluster_cap), active0=active0)
+    return _region_grow_gather(
+        nbr_idx, seed_labels, mask, max_cycles=max_cycles,
+        min_frontier=min_frontier, scatter_push=scatter_push,
+        cluster_cap=cluster_cap, active0=active0)
+
+
+@jax.jit
+def _claim_band(nbr_idx: Array, mask: Array):
+    """Block-banded adjacency of the (masked) radius graph, weights 1."""
+    from pyqsm_tpu.ops.sparse import build_banded
+
+    n = nbr_idx.shape[0]
+    edge = (nbr_idx >= 0) & mask[:, None] & mask[jnp.clip(nbr_idx, 0, n - 1)]
+    idx = jnp.where(edge, nbr_idx, -1)
+    w = edge.astype(jnp.bfloat16)
+    return build_banded(idx, w, spill_cap=6 * n)
+
+
+@partial(jax.jit, static_argnames=("max_cycles", "min_frontier", "cluster_cap"))
+def _region_grow_banded(
+    b_adj: Array, s_i: Array, s_j: Array, s_w: Array,
+    seed_labels: Array, mask: Array,
+    max_cycles: int, min_frontier: int, cluster_cap: int,
+    active0: Array | None = None,
+) -> GrowthResult:
+    from pyqsm_tpu.ops.sparse import _band_apply, _spill_apply
+
+    n = seed_labels.shape[0]
+    c = int(cluster_cap)
+    cids = jnp.arange(c, dtype=jnp.int32)
+
+    labels0 = jnp.where(mask, seed_labels, -1)
+    frontier0 = labels0 >= 0
+    order0 = jnp.where(frontier0, 0, -1)
+    if active0 is None:
+        active0 = jnp.ones(c, dtype=bool)
+
+    def cond(state):
+        labels, frontier, order, active, cyc = state
+        return jnp.any(frontier) & (cyc < max_cycles)
+
+    def body(state):
+        labels, frontier, order, active, cyc = state
+        lab_c = jnp.clip(labels, 0, c - 1)
+        # one-hot frontier (proposer's cluster must be active), bf16: the
+        # banded matmul counts proposers per cluster — only >0 matters, and
+        # nonneg bf16 sums never round a positive count to zero
+        F = (frontier & active[lab_c] & (labels >= 0))[:, None] & (
+            lab_c[:, None] == cids[None, :])
+        Fb = F.astype(jnp.bfloat16)
+        Y = _band_apply(b_adj, Fb) + _spill_apply(s_i, s_j, s_w, Fb, n,
+                                                  sorted_dst=True)
+        has = Y > 0
+        first = jnp.argmax(has, axis=1).astype(jnp.int32)  # min id = first set
+        cand = jnp.where(jnp.any(has, axis=1), first, _BIG)
+
+        unclaimed = mask & (labels < 0)
+        newly = unclaimed & (cand < _BIG)
+        labels = jnp.where(newly, cand, labels)
+        order = jnp.where(newly, cyc + 1, order)
+
+        key = jnp.where(newly, jnp.clip(labels, 0, c - 1), c)
+        new_counts = jax.ops.segment_sum(
+            newly.astype(jnp.int32), key, num_segments=c + 1
+        )[:c]
+        active = active & (new_counts >= min_frontier)
+        frontier = newly & active[jnp.clip(labels, 0, c - 1)]
+        return labels, frontier, order, active, cyc + 1
+
+    labels, _, order, active, cyc = jax.lax.while_loop(
+        cond, body, (labels0, frontier0, order0, active0, jnp.int32(0))
+    )
+    return GrowthResult(labels, order, cyc, active)
+
+
+@partial(jax.jit, static_argnames=("max_cycles", "min_frontier", "scatter_push",
+                                   "cluster_cap"))
+def _region_grow_gather(
+    nbr_idx: Array,
+    seed_labels: Array,
+    mask: Array,
+    max_cycles: int = 200,
+    min_frontier: int = 5,
+    scatter_push: bool = False,
+    cluster_cap: int | None = None,
+    active0: Array | None = None,
+) -> GrowthResult:
     n, k = nbr_idx.shape
     c = n if cluster_cap is None else int(cluster_cap)
     gidx = jnp.maximum(nbr_idx, 0)
@@ -249,6 +358,16 @@ def build_trees(
     # compact the representatives: the padded input capacity would otherwise
     # drive every growth-cycle gather (~2.5x waste at typical voxel ratios)
     rep_pts, rep_mask, rep_rows = compact_rows(rep_pts, rep_mask)
+    # Morton-order the representatives: spatial locality in the row index is
+    # what lets the growth cycles run their claim step block-banded on the
+    # MXU (see region_grow). Dead rows sort to the tail; rep_rows keeps the
+    # map back to original rows, so the final expansion is unchanged.
+    from pyqsm_tpu.ops.sparse import morton_codes
+
+    mperm = jnp.argsort(morton_codes(rep_pts, rep_mask))
+    rep_pts = rep_pts[mperm]
+    rep_mask = rep_mask[mperm]
+    rep_rows = rep_rows[mperm]
     seed_labels, low, high = id_trunk_bases(rep_pts, rep_mask, cfg, exclude_regions)
     search = low | high
     # unsorted idx-only any-k: region growing needs connectivity, not

@@ -61,7 +61,7 @@ def point_cloud_laplacian(
         # ~95% of contraction wall time (0.30 s per CG iteration at
         # [8, 32768] k=20 measured on v5e). Spill list keeps exactness;
         # overflow lax.cond's back to the exact gather/scatter path.
-        from pyqsm_tpu.ops.sparse import build_banded
+        from pyqsm_tpu.ops.sparse import build_banded, sort_spill_transpose
 
         # spill cap 6·N: measured Morton-order spill on plot-scale trees is
         # ~15-21% of N·k edges (Hilbert measured no better — the spill is
@@ -71,9 +71,14 @@ def point_cloud_laplacian(
         # spill gather is still ~3x smaller than full ELL
         b_w, s_i, s_j, s_w, s_over = build_banded(
             idx, w, spill_cap=6 * points.shape[0])
+        # column-sorted copy: both spill scatters (L and Lᵀ) then lower to
+        # sorted segmented sums instead of random scatters
+        st_i, st_j, st_w = sort_spill_transpose(s_i, s_j, s_w,
+                                                points.shape[0])
         return ELLLaplacian(nbr_idx=idx, w=w, deg=deg, mass=mass,
                             b_w=b_w, s_i=s_i, s_j=s_j, s_w=s_w,
-                            s_overflow=s_over)
+                            s_overflow=s_over,
+                            st_i=st_i, st_j=st_j, st_w=st_w)
     # transpose ELL once per rebuild: Lᵀ matvecs inside CG become gathers
     # instead of a 0.8M-entry scatter per iteration (the solve's hot op).
     # overflow flags in-degrees beyond the slots (contracted clouds collapse

@@ -58,10 +58,13 @@ class ELLLaplacian(NamedTuple):
     t_w: Array | None = None  # [N, kt] f32
     t_overflow: Array | None = None  # scalar bool: max in-degree > kt
     b_w: Array | None = None  # [nb, BS, 3·BS] in-window weights
-    s_i: Array | None = None  # [R] i32 spill edge rows (N = dead)
+    s_i: Array | None = None  # [R] i32 spill edge rows (N = dead), ASCENDING
     s_j: Array | None = None  # [R] i32 spill edge cols
     s_w: Array | None = None  # [R] f32 spill weights
     s_overflow: Array | None = None  # scalar bool: spill edges > R
+    st_i: Array | None = None  # [R] spill rows re-sorted by col (for Lᵀ)
+    st_j: Array | None = None  # [R] spill cols ASCENDING (Lᵀ scatter dst)
+    st_w: Array | None = None  # [R]
 
 
 BAND_BLOCK = 256  # rows per banded block; window = 3 blocks
@@ -151,11 +154,25 @@ def _band_apply_t(b_w: Array, x: Array) -> Array:
     return acc.reshape(n, x.shape[-1])
 
 
-def _spill_apply(s_i, s_j, s_w, x, n, transpose=False):
+def _spill_apply(s_i, s_j, s_w, x, n, transpose=False, sorted_dst=False):
+    """Apply the exact spill list. ``sorted_dst`` asserts the destination
+    indices are ascending — the TPU scatter then lowers to a segmented sum
+    instead of a random scatter (``build_banded`` emits ``s_i`` ascending;
+    ``sort_spill_transpose`` re-sorts by column for the Lᵀ direction)."""
     src = s_i if transpose else s_j
     dst = s_j if transpose else s_i
     contrib = s_w[:, None] * x[jnp.clip(src, 0, n - 1)]
-    return jax.ops.segment_sum(contrib, jnp.minimum(dst, n), num_segments=n + 1)[:n]
+    return jax.ops.segment_sum(
+        contrib, jnp.minimum(dst, n), num_segments=n + 1,
+        indices_are_sorted=sorted_dst)[:n]
+
+
+def sort_spill_transpose(s_i: Array, s_j: Array, s_w: Array, n: int):
+    """Spill list re-sorted by COLUMN, for sorted-scatter Lᵀ applies. Dead
+    entries (s_i == n, zero weight) sort to the tail via column key n."""
+    key = jnp.where(s_i >= n, n, s_j)
+    order = jnp.argsort(key)
+    return s_i[order], key[order], s_w[order]
 
 
 def build_transpose_ell(
@@ -213,7 +230,8 @@ def laplacian_matvec(L: ELLLaplacian, x: Array) -> Array:
     if L.b_w is None:
         return _matvec_ell(L, x)
     n = x.shape[0]
-    acc = _band_apply(L.b_w, x) + _spill_apply(L.s_i, L.s_j, L.s_w, x, n)
+    acc = _band_apply(L.b_w, x) + _spill_apply(
+        L.s_i, L.s_j, L.s_w, x, n, sorted_dst=True)
     return L.deg[:, None] * x - acc
 
 
@@ -236,9 +254,12 @@ def laplacian_rmatvec(L: ELLLaplacian, x: Array) -> Array:
         # unconditional banded + spill — see laplacian_matvec for why no
         # traced overflow cond (vmap lowers cond to both-branches select)
         n = x.shape[0]
-        acc = _band_apply_t(L.b_w, x) + _spill_apply(
-            L.s_i, L.s_j, L.s_w, x, n, transpose=True)
-        return L.deg[:, None] * x - acc
+        if L.st_j is not None:
+            acc_s = _spill_apply(L.st_i, L.st_j, L.st_w, x, n,
+                                 transpose=True, sorted_dst=True)
+        else:
+            acc_s = _spill_apply(L.s_i, L.s_j, L.s_w, x, n, transpose=True)
+        return L.deg[:, None] * x - (_band_apply_t(L.b_w, x) + acc_s)
 
     if L.t_idx is None:
         return _rmatvec_scatter(L, x)

@@ -119,3 +119,40 @@ def test_observed_growth_matches_unobserved(rng, tmp_path):
     np.testing.assert_array_equal(np.asarray(res.order), np.asarray(ref.order))
     assert len(calls) >= 2  # several chunks observed
     assert len(list((tmp_path / "growth").glob("step_*.npz"))) == len(calls)
+
+
+def test_region_grow_banded_matches_gather(rng):
+    """At banded scale (N%256==0, compact ids, Morton rows) the block-banded
+    claim step must be BIT-IDENTICAL to the gather path: same edge set, same
+    min-id tie-break, same retirement."""
+    from pyqsm_tpu.models.isolation import _region_grow_gather
+    from pyqsm_tpu.ops.sparse import morton_codes
+
+    n = 32768
+    # clumpy plot slice: several gaussian blobs so clusters contest borders
+    centers = rng.uniform(0, 12, (6, 3)).astype(np.float32)
+    pts = (centers[rng.integers(0, 6, n)]
+           + rng.normal(0, 0.9, (n, 3))).astype(np.float32)
+    mask = jnp.ones(n, bool)
+    order = jnp.argsort(morton_codes(jnp.asarray(pts), mask))
+    p = jnp.asarray(pts)[order]
+    _, idx = radius_knn(p, p, radius=0.25, k=8)
+    seeds = np.full(n, -1, np.int32)
+    # a few seed points per cluster id, scattered
+    for cid in range(6):
+        rows = rng.integers(0, n, 4)
+        seeds[rows] = cid
+    seeds = jnp.asarray(seeds)
+    res_b = region_grow(idx, seeds, mask, max_cycles=60, min_frontier=2,
+                        cluster_cap=16)
+    res_g = _region_grow_gather(idx, seeds, mask, max_cycles=60,
+                                min_frontier=2, cluster_cap=16)
+    np.testing.assert_array_equal(np.asarray(res_b.labels),
+                                  np.asarray(res_g.labels))
+    np.testing.assert_array_equal(np.asarray(res_b.order),
+                                  np.asarray(res_g.order))
+    np.testing.assert_array_equal(np.asarray(res_b.active),
+                                  np.asarray(res_g.active))
+    assert int(res_b.cycles_run) == int(res_g.cycles_run)
+    # sanity: the banded path actually engaged (labels spread beyond seeds)
+    assert int(jnp.sum(res_b.labels >= 0)) > 24
