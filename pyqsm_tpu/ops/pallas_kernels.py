@@ -166,3 +166,104 @@ def mt_raycast(
     # padded triangle ids beyond T are never hit (valid=0), so ids are safe
     tri_id = jnp.where(jnp.isfinite(t), tri_id, -1)
     return t, tri_id, uv, cnt
+
+
+# ---------------------------------------------------------------------------
+# Block-banded matvec kernels (the contraction CG's hot op)
+# ---------------------------------------------------------------------------
+#
+# XLA lowers the banded einsums at ~23 GB/s effective (measured 29-35 ms per
+# apply at [8, 32768] k=20 on v5e — the d=3 output starves its tiling); these
+# kernels stream each [BS, 3·BS] weight tile HBM->VMEM once and run the
+# window product on the MXU. No pl.program_id inside (edge factors arrive as
+# arrays), so jax.vmap over a trees axis maps cleanly onto a prepended grid
+# dimension.
+
+
+def band_matvec_pallas(b_w: Array, x: Array, interpret: bool = False) -> Array:
+    """y[i] = Σ_j W_ij x_j for block-banded W — one tree.
+
+    ``b_w`` [nb, BS, 3·BS] window tiles (see ``ops.sparse.build_banded``),
+    ``x`` [n, C] with n = nb·BS. Returns [n, C] f32."""
+    nb, bs, w3 = b_w.shape
+    n, c = x.shape
+    xp = jnp.pad(x, ((bs, bs), (0, 0))).reshape(nb + 2, bs, c)
+
+    def kernel(bw_ref, xm_ref, xc_ref, xn_ref, o_ref):
+        xw = jnp.concatenate([xm_ref[0], xc_ref[0], xn_ref[0]], axis=0)
+        o_ref[0] = jnp.dot(bw_ref[0], xw, preferred_element_type=jnp.float32)
+
+    y = pl.pallas_call(
+        kernel,
+        grid=(nb,),
+        in_specs=[
+            pl.BlockSpec((1, bs, w3), lambda b: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bs, c), lambda b: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bs, c), lambda b: (b + 1, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bs, c), lambda b: (b + 2, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, bs, c), lambda b: (b, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((nb, bs, c), jnp.float32),
+        interpret=interpret,
+    )(b_w, xp, xp, xp)
+    return y.reshape(n, c)
+
+
+def band_matvec_t_pallas(b_w: Array, x: Array,
+                         interpret: bool = False) -> Array:
+    """y[j] = Σ_i W_ij x_i (transpose apply) for block-banded W — one tree.
+
+    Output block c gathers from row blocks a ∈ {c-1, c, c+1}; each grid
+    step reads the three neighbouring tiles and contracts their block-c
+    column slices against the matching x blocks (dot_general over the row
+    axis — no explicit transpose). Edge factors mask the clamped
+    out-of-range tiles."""
+    nb, bs, w3 = b_w.shape
+    n, c = x.shape
+    # zero-padded x: the out-of-range neighbour terms contract against the
+    # zero blocks, so the clamped (duplicate) edge tiles contribute nothing
+    # — no edge-factor scalars, no program_id (keeps the kernel vmappable)
+    xp = jnp.pad(x, ((bs, bs), (0, 0))).reshape(nb + 2, bs, c)
+
+    dn_rows = (((0,), (0,)), ((), ()))  # contract over rows: Aᵀ @ X
+
+    def kernel(bu_ref, bc_ref, bd_ref, xu_ref, xc_ref, xd_ref, o_ref):
+        acc = jax.lax.dot_general(bc_ref[0][:, bs:2 * bs], xc_ref[0],
+                                  dn_rows, preferred_element_type=jnp.float32)
+        up = jax.lax.dot_general(bu_ref[0][:, 2 * bs:], xu_ref[0],
+                                 dn_rows, preferred_element_type=jnp.float32)
+        dn = jax.lax.dot_general(bd_ref[0][:, :bs], xd_ref[0],
+                                 dn_rows, preferred_element_type=jnp.float32)
+        o_ref[0] = acc + up + dn
+
+    def clamp_lo(b):
+        return (jnp.maximum(b - 1, 0), 0, 0)
+
+    def clamp_hi(b):
+        return (jnp.minimum(b + 1, nb - 1), 0, 0)
+
+    tile = lambda imap: pl.BlockSpec((1, bs, w3), imap,
+                                     memory_space=pltpu.VMEM)
+    xblk = lambda imap: pl.BlockSpec((1, bs, c), imap,
+                                     memory_space=pltpu.VMEM)
+    y = pl.pallas_call(
+        kernel,
+        grid=(nb,),
+        in_specs=[
+            tile(clamp_lo), tile(lambda b: (b, 0, 0)), tile(clamp_hi),
+            # source rows: block c-1 ↔ xp[b], c ↔ xp[b+1], c+1 ↔ xp[b+2]
+            xblk(lambda b: (b, 0, 0)),
+            xblk(lambda b: (b + 1, 0, 0)),
+            xblk(lambda b: (b + 2, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, bs, c), lambda b: (b, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((nb, bs, c), jnp.float32),
+        interpret=interpret,
+    )(b_w, b_w, b_w, xp, xp, xp)
+    return y.reshape(n, c)

@@ -127,8 +127,28 @@ def build_banded(
     return b_w, s_i, s_j, s_w, overflow
 
 
+def _use_pallas_band() -> bool:
+    import os
+
+    if os.environ.get("PYQSM_NO_PALLAS_BAND"):
+        return False
+    try:
+        return jax.default_backend() == "tpu"
+    except Exception:  # noqa: BLE001
+        return False
+
+
 def _band_apply(b_w: Array, x: Array) -> Array:
-    """Σ_j W_ij x_j with W in block-banded form — batched MXU matmul."""
+    """Σ_j W_ij x_j with W in block-banded form — batched MXU matmul.
+
+    On TPU this routes through the Pallas kernel (XLA's lowering of the
+    d=3 einsum ran at ~23 GB/s effective — 30 ms per apply at [8, 32768];
+    the kernel streams each tile once); the einsum stays as the portable
+    fallback."""
+    if _use_pallas_band():
+        from pyqsm_tpu.ops.pallas_kernels import band_matvec_pallas
+
+        return band_matvec_pallas(b_w, x)
     n = b_w.shape[0] * BAND_BLOCK
     xb = x.reshape(-1, BAND_BLOCK, x.shape[-1])
     zero = jnp.zeros_like(xb[:1])
@@ -142,6 +162,10 @@ def _band_apply(b_w: Array, x: Array) -> Array:
 
 def _band_apply_t(b_w: Array, x: Array) -> Array:
     """Σ_i W_ij x_i (transpose apply) in block-banded form."""
+    if _use_pallas_band():
+        from pyqsm_tpu.ops.pallas_kernels import band_matvec_t_pallas
+
+        return band_matvec_t_pallas(b_w, x)
     n = b_w.shape[0] * BAND_BLOCK
     xb = x.reshape(-1, BAND_BLOCK, x.shape[-1])
     contrib = jnp.einsum("brc,brd->bcd", b_w, xb,
@@ -309,17 +333,25 @@ def pcg(
     """Jacobi-preconditioned CG for the contraction normal equations.
 
     ``matvec_operands = (L, wl, wh)``; solves ``normal_matvec(...) x = b``
-    batched over columns of b. Returns (x, final residual norm ratio)."""
+    batched over columns of b. Returns (x, final residual norm ratio).
+
+    Point-Jacobi from ``diag``. (A Morton-block block-Jacobi variant was
+    measured strictly worse on the real operator — at contraction wl the
+    inter-block coupling of Lᵀ·WL²·L dominates the diagonal blocks, and
+    block solves mislead the search directions.)"""
     L, wl, wh = matvec_operands
     if x0 is None:
         x0 = jnp.zeros_like(b)
     minv = 1.0 / jnp.maximum(diag, 1e-20)
 
+    def prec(r):
+        return minv[:, None] * r
+
     def mv(x):
         return normal_matvec(L, wl, wh, x)
 
     r = b - mv(x0)
-    z = minv[:, None] * r
+    z = prec(r)
     p = z
     rz = jnp.sum(r * z)
     b_norm = jnp.maximum(jnp.sqrt(jnp.sum(b * b)), 1e-30)
@@ -335,7 +367,7 @@ def pcg(
         alpha = rz / jnp.where(jnp.abs(denom) < 1e-30, 1e-30, denom)
         x = x + alpha * p
         r = r - alpha * Ap
-        z = minv[:, None] * r
+        z = prec(r)
         rz_new = jnp.sum(r * z)
         beta = rz_new / jnp.where(jnp.abs(rz) < 1e-30, 1e-30, rz)
         p = z + beta * p

@@ -38,3 +38,47 @@ def test_mt_raycast_empty_scene():
     assert not np.isfinite(np.asarray(t)).any()
     assert (np.asarray(tri) == -1).all()
     assert (np.asarray(cnt) == 0).all()
+
+
+def _dense_from_band(b_w, n, bs):
+    W = np.zeros((n, n), np.float32)
+    for b in range(b_w.shape[0]):
+        lo = (b - 1) * bs
+        for t in range(3 * bs):
+            j = lo + t
+            if 0 <= j < n:
+                W[b * bs:(b + 1) * bs, j] = b_w[b, :, t]
+    return W
+
+
+def test_band_matvec_pallas_matches_dense(rng):
+    """Pallas banded matvecs (forward + transpose, incl. vmap over trees)
+    equal the dense oracle — interpret mode runs the same kernel code."""
+    from pyqsm_tpu.ops.pallas_kernels import (band_matvec_pallas,
+                                              band_matvec_t_pallas)
+    from pyqsm_tpu.ops.sparse import BAND_BLOCK as bs
+
+    nb, c = 4, 3
+    n = nb * bs
+    b_w = rng.normal(size=(nb, bs, 3 * bs)).astype(np.float32)
+    x = rng.normal(size=(n, c)).astype(np.float32)
+    W = _dense_from_band(b_w, n, bs)
+    y = np.asarray(band_matvec_pallas(jnp.asarray(b_w), jnp.asarray(x),
+                                      interpret=True))
+    np.testing.assert_allclose(y, W @ x, rtol=2e-4, atol=2e-4)
+    yt = np.asarray(band_matvec_t_pallas(jnp.asarray(b_w), jnp.asarray(x),
+                                         interpret=True))
+    np.testing.assert_allclose(yt, W.T @ x, rtol=2e-4, atol=2e-4)
+    # vmapped over a trees axis (the batched contraction's layout)
+    bwb = np.stack([b_w, 2 * b_w])
+    xb = np.stack([x, x + 1])
+    yv = np.asarray(jax.vmap(
+        lambda a, b: band_matvec_pallas(a, b, interpret=True)
+    )(jnp.asarray(bwb), jnp.asarray(xb)))
+    ytv = np.asarray(jax.vmap(
+        lambda a, b: band_matvec_t_pallas(a, b, interpret=True)
+    )(jnp.asarray(bwb), jnp.asarray(xb)))
+    for t in range(2):
+        Wt = _dense_from_band(bwb[t], n, bs)
+        np.testing.assert_allclose(yv[t], Wt @ xb[t], rtol=2e-4, atol=2e-4)
+        np.testing.assert_allclose(ytv[t], Wt.T @ xb[t], rtol=2e-4, atol=2e-4)
