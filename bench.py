@@ -101,6 +101,10 @@ ARTIFACT = _Artifact()
 
 
 def _bench_body(args) -> None:
+    # first emission before jax even imports: if the device tunnel is down
+    # (uploads hang indefinitely) any kill still finds a parsable line
+    ARTIFACT.update(note="started; device not yet contacted")
+
     import jax
 
     # persistent compilation cache: axon compiles cost minutes; the cache

@@ -27,6 +27,9 @@ def test_entry_compiles_and_runs(graft):
     assert int(out["n_inliers"]) > 1000
 
 
+@pytest.mark.slow  # the driver executes dryrun_multichip(N) itself every
+# round (MULTICHIP artifact); default CI covers the sharded step via
+# test_parallel.py's equality tests
 def test_dryrun_multichip_8(graft):
     graft.dryrun_multichip(8)  # asserts internally
 

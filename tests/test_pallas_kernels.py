@@ -82,3 +82,23 @@ def test_band_matvec_pallas_matches_dense(rng):
         Wt = _dense_from_band(bwb[t], n, bs)
         np.testing.assert_allclose(yv[t], Wt @ xb[t], rtol=2e-4, atol=2e-4)
         np.testing.assert_allclose(ytv[t], Wt.T @ xb[t], rtol=2e-4, atol=2e-4)
+
+
+def test_band_matvec_pallas_bf16_counts(rng):
+    """The banded region-grow claim feeds bf16 one-hot counts through the
+    kernel (ops/sparse._band_apply route): bf16 in, f32 out, positive
+    counts never rounded to zero."""
+    from pyqsm_tpu.ops.pallas_kernels import band_matvec_pallas
+    from pyqsm_tpu.ops.sparse import BAND_BLOCK as bs
+
+    nb, c = 3, 16
+    n = nb * bs
+    adj = (rng.uniform(size=(nb, bs, 3 * bs)) < 0.05).astype(np.float32)
+    onehot = (rng.uniform(size=(n, c)) < 0.1).astype(np.float32)
+    W = _dense_from_band(adj, n, bs)
+    y = np.asarray(band_matvec_pallas(
+        jnp.asarray(adj, jnp.bfloat16), jnp.asarray(onehot, jnp.bfloat16),
+        interpret=True))
+    assert y.dtype == np.float32
+    exact = W @ onehot
+    np.testing.assert_array_equal(y > 0, exact > 0)

@@ -212,6 +212,8 @@ def test_transpose_ell_overflow_falls_back_to_exact(rng):
                                A.T @ x, rtol=1e-4, atol=1e-5)
 
 
+@pytest.mark.slow  # 16k-point two-level equality (~1 min CPU); the fast
+# default variant is test_extract_skeleton_batch_banded_matches_quality
 def test_two_level_contraction_matches_single_level(rng):
     """Coarse->fine contraction must land on the same skeleton attractor as
     the single-level loop: comparable contracted geometry (chamfer) and
