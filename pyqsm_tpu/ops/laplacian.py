@@ -61,7 +61,8 @@ def point_cloud_laplacian(
         # ~95% of contraction wall time (0.30 s per CG iteration at
         # [8, 32768] k=20 measured on v5e). Spill list keeps exactness;
         # overflow lax.cond's back to the exact gather/scatter path.
-        from pyqsm_tpu.ops.sparse import build_banded, sort_spill_transpose
+        from pyqsm_tpu.ops.sparse import (band_transpose, build_banded,
+                                          sort_spill_transpose)
 
         # spill cap 6·N: measured Morton-order spill on plot-scale trees is
         # ~15-21% of N·k edges (Hilbert measured no better — the spill is
@@ -78,7 +79,10 @@ def point_cloud_laplacian(
         return ELLLaplacian(nbr_idx=idx, w=w, deg=deg, mass=mass,
                             b_w=b_w, s_i=s_i, s_j=s_j, s_w=s_w,
                             s_overflow=s_over,
-                            st_i=st_i, st_j=st_j, st_w=st_w)
+                            st_i=st_i, st_j=st_j, st_w=st_w,
+                            # Wᵀ band once per rebuild: CG's Lᵀ applies run
+                            # the forward kernel (1 tile read/block, not 3)
+                            b_w_t=band_transpose(b_w))
     # transpose ELL once per rebuild: Lᵀ matvecs inside CG become gathers
     # instead of a 0.8M-entry scatter per iteration (the solve's hot op).
     # overflow flags in-degrees beyond the slots (contracted clouds collapse

@@ -65,6 +65,7 @@ class ELLLaplacian(NamedTuple):
     st_i: Array | None = None  # [R] spill rows re-sorted by col (for Lᵀ)
     st_j: Array | None = None  # [R] spill cols ASCENDING (Lᵀ scatter dst)
     st_w: Array | None = None  # [R]
+    b_w_t: Array | None = None  # [nb, BS, 3·BS] banded form of Wᵀ
 
 
 BAND_BLOCK = 256  # rows per banded block; window = 3 blocks
@@ -125,6 +126,23 @@ def build_banded(
     s_w = jnp.where(sel, w.reshape(-1)[take], 0.0)
     overflow = jnp.sum(flat_s) > spill_cap
     return b_w, s_i, s_j, s_w, overflow
+
+
+def band_transpose(b_w: Array) -> Array:
+    """Banded form of Wᵀ from the banded form of W. The ±1-block window is
+    symmetric (j in i's window ⇔ i in j's), so Wᵀ is banded with the same
+    shape: ``b_w_t[c, q, u·bs+v] = b_w[c-1+u, v, (2-u)·bs+q]`` — three
+    per-block transposes with a block shift, built ONCE per Laplacian.
+    Transpose applies then reuse the forward kernel (one weight-tile read
+    per output block; the in-kernel transpose path read three)."""
+    nb, bs, _ = b_w.shape
+    s0 = jnp.swapaxes(b_w[:, :, 2 * bs:], 1, 2)  # upper third → u=0 slot
+    s1 = jnp.swapaxes(b_w[:, :, bs:2 * bs], 1, 2)
+    s2 = jnp.swapaxes(b_w[:, :, :bs], 1, 2)  # lower third → u=2 slot
+    zero = jnp.zeros_like(s1[:1])
+    t0 = jnp.concatenate([zero, s0[:-1]], axis=0)  # source block c-1
+    t2 = jnp.concatenate([s2[1:], zero], axis=0)  # source block c+1
+    return jnp.concatenate([t0, s1, t2], axis=2)
 
 
 def _use_pallas_band() -> bool:
@@ -283,7 +301,11 @@ def laplacian_rmatvec(L: ELLLaplacian, x: Array) -> Array:
                                  transpose=True, sorted_dst=True)
         else:
             acc_s = _spill_apply(L.s_i, L.s_j, L.s_w, x, n, transpose=True)
-        return L.deg[:, None] * x - (_band_apply_t(L.b_w, x) + acc_s)
+        if L.b_w_t is not None:  # precomputed Wᵀ band: forward-kernel cost
+            acc_b = _band_apply(L.b_w_t, x)
+        else:
+            acc_b = _band_apply_t(L.b_w, x)
+        return L.deg[:, None] * x - (acc_b + acc_s)
 
     if L.t_idx is None:
         return _rmatvec_scatter(L, x)

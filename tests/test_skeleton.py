@@ -426,3 +426,27 @@ def test_extract_skeleton_batch_banded_matches_quality(rng):
     cb = np.asarray(res_b.contracted[0]).std(0)
     cs = np.asarray(res_s.contracted).std(0)
     np.testing.assert_allclose(cb, cs, rtol=0.1, atol=1e-3)
+
+
+def test_band_transpose_matches_dense(rng):
+    """band_transpose(b_w) is the banded form of Wᵀ: rmatvec through the
+    precomputed transpose band equals the dense oracle (the route
+    point_cloud_laplacian wires for the CG's Lᵀ applies)."""
+    from pyqsm_tpu.ops.sparse import band_transpose
+
+    L = _random_ell_256(rng, local=True)
+    Lb = _banded_from_ell(L, spill_cap=512)
+    assert not bool(Lb.s_overflow)
+    Lt = Lb._replace(b_w_t=band_transpose(Lb.b_w))
+    A = dense_L(L)
+    x = rng.normal(size=(512, 3)).astype(np.float32)
+    np.testing.assert_allclose(
+        np.asarray(laplacian_rmatvec(Lt, jnp.asarray(x))), A.T @ x,
+        rtol=1e-4, atol=1e-4)
+    # the precomputed band alone matches the in-kernel transpose apply
+    from pyqsm_tpu.ops.sparse import _band_apply, _band_apply_t
+
+    np.testing.assert_allclose(
+        np.asarray(_band_apply(Lt.b_w_t, jnp.asarray(x))),
+        np.asarray(_band_apply_t(Lb.b_w, jnp.asarray(x))),
+        rtol=1e-4, atol=1e-4)
