@@ -126,6 +126,23 @@ def _bench_body(args) -> None:
 
     import jax.numpy as jnp
 
+    # Pallas self-test: the banded CG routes through Mosaic kernels on TPU;
+    # if this hardware/toolchain rejects them, flip the escape hatch so the
+    # bench measures the XLA einsum fallback instead of dying at compile
+    if backend == "tpu" and not os.environ.get("PYQSM_NO_PALLAS_BAND"):
+        try:
+            from pyqsm_tpu.ops.pallas_kernels import band_matvec_pallas
+            from pyqsm_tpu.ops.sparse import BAND_BLOCK as _bs
+
+            _y = band_matvec_pallas(jnp.zeros((2, _bs, 3 * _bs)),
+                                    jnp.zeros((2 * _bs, 3)))
+            jax.block_until_ready(_y)
+        except Exception as e:  # noqa: BLE001
+            os.environ["PYQSM_NO_PALLAS_BAND"] = "1"
+            _progress(f"pallas band kernel unavailable ({type(e).__name__}); "
+                      "using XLA fallback")
+            ARTIFACT.update(pallas_band="fallback")
+
     from pyqsm_tpu.config import Config, IsolationConfig
     from pyqsm_tpu.models.isolation import build_trees
     from pyqsm_tpu.models.plot_pipeline import process_plot
