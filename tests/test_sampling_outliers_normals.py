@@ -133,3 +133,23 @@ def test_voxel_batch_kernels_match_single(rng):
         # compaction is front-packed
         k = cm[i].sum()
         assert cm[i][:k].all() and not cm[i][k:].any()
+
+
+def test_compact_rows_band_alignment(rng):
+    """The banded paths (sparse.BAND_BLOCK=256 blocking; region_grow's
+    use_band gate requires n % 256 == 0) rely on compact_rows padding to a
+    256-multiple capacity. Guard the invariant: pad_multiple default stays
+    a multiple of BAND_BLOCK and rows map back exactly."""
+    import jax.numpy as jnp
+    from pyqsm_tpu.ops.sampling import compact_rows
+    from pyqsm_tpu.ops.sparse import BAND_BLOCK
+
+    pts = rng.normal(size=(5000, 3)).astype(np.float32)
+    mask = rng.uniform(size=5000) < 0.37
+    out, m2, rows = compact_rows(jnp.asarray(pts), jnp.asarray(mask))
+    assert out.shape[0] % BAND_BLOCK == 0, out.shape
+    n_live = int(mask.sum())
+    assert int(m2.sum()) == n_live
+    r = np.asarray(rows)[:n_live]
+    np.testing.assert_array_equal(np.asarray(out)[:n_live], pts[r])
+    assert (np.asarray(rows)[n_live:] == -1).all()
