@@ -118,12 +118,19 @@ def build_banded(
 
     spill = valid & ~in_win
     flat_s = spill.reshape(-1)
-    order = jnp.argsort(~flat_s)  # spill edges first, stable
-    take = order[:spill_cap]
-    sel = flat_s[take]
-    s_i = jnp.where(sel, (take // k).astype(jnp.int32), n)
-    s_j = jnp.where(sel, nbr_idx.reshape(-1)[take], 0)
-    s_w = jnp.where(sel, w.reshape(-1)[take], 0.0)
+    # stable front-pack via cumsum + sorted scatter (an argsort here cost
+    # O(nk log² nk) bitonic passes per rebuild for what is just a partition);
+    # destinations are ascending over the flat row-major order, so s_i stays
+    # ASCENDING — the property the sorted spill scatters rely on
+    pos = jnp.cumsum(flat_s) - 1
+    dst = jnp.where(flat_s & (pos < spill_cap), pos, spill_cap)
+    src_rows = (jax.lax.iota(jnp.int32, n * k) // k)
+    s_i = jnp.full(spill_cap + 1, n, jnp.int32).at[dst].set(
+        src_rows, mode="drop")[:spill_cap]
+    s_j = jnp.zeros(spill_cap + 1, jnp.int32).at[dst].set(
+        nbr_idx.reshape(-1), mode="drop")[:spill_cap]
+    s_w = jnp.zeros(spill_cap + 1, w.dtype).at[dst].set(
+        w.reshape(-1), mode="drop")[:spill_cap]
     overflow = jnp.sum(flat_s) > spill_cap
     return b_w, s_i, s_j, s_w, overflow
 
