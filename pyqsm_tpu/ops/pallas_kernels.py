@@ -180,14 +180,24 @@ def mt_raycast(
 # dimension.
 
 
-def band_matvec_pallas(b_w: Array, x: Array, interpret: bool = False) -> Array:
+def band_matvec_pallas(b_w: Array, x: Array, interpret: bool = False,
+                       prepadded: bool = False) -> Array:
     """y[i] = Σ_j W_ij x_j for block-banded W — one tree.
 
     ``b_w`` [nb, BS, 3·BS] window tiles (see ``ops.sparse.build_banded``),
-    ``x`` [n, C] with n = nb·BS. Returns [n, C] f32."""
+    ``x`` [n, C] with n = nb·BS. Returns [n, C] f32.
+
+    ``prepadded``: ``x`` already carries one halo block on each side
+    ([n + 2·BS, C]) — the sharded region-grow claim passes its neighbor
+    shards' label window instead of zeros."""
     nb, bs, w3 = b_w.shape
-    n, c = x.shape
-    xp = jnp.pad(x, ((bs, bs), (0, 0))).reshape(nb + 2, bs, c)
+    if prepadded:
+        n = x.shape[0] - 2 * bs
+        c = x.shape[1]
+        xp = x.reshape(nb + 2, bs, c)
+    else:
+        n, c = x.shape
+        xp = jnp.pad(x, ((bs, bs), (0, 0))).reshape(nb + 2, bs, c)
 
     def kernel(bw_ref, xm_ref, xc_ref, xn_ref, o_ref):
         xw = jnp.concatenate([xm_ref[0], xc_ref[0], xn_ref[0]], axis=0)

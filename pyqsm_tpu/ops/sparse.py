@@ -135,6 +135,44 @@ def build_banded(
     return b_w, s_i, s_j, s_w, overflow
 
 
+def build_banded_window(
+    nbr_idx: Array, w: Array, start: Array, spill_cap: int
+) -> tuple[Array, Array, Array, Array, Array]:
+    """``build_banded`` for a SHARD: rows are the local slice
+    ``[start, start + n_local)`` of a globally ordered array, ``nbr_idx``
+    carries GLOBAL column indices. In-window edges land in the local
+    ±1-block band (applied against the caller's gathered halo window);
+    spill keeps global columns (``s_j``) with LOCAL rows (``s_i``).
+    ``start`` may be traced (vmap over shards)."""
+    n, k = nbr_idx.shape
+    bs = BAND_BLOCK
+    nb = n // bs
+    row = jax.lax.broadcasted_iota(jnp.int32, (n, k), 0)
+    blk = row // bs
+    cpos = nbr_idx - start - (blk - 1) * bs
+    valid = nbr_idx >= 0
+    in_win = valid & (cpos >= 0) & (cpos < 3 * bs)
+    b_w = jnp.zeros((nb, bs, 3 * bs), w.dtype).at[
+        jnp.where(in_win, blk, nb),
+        row % bs,
+        jnp.where(in_win, cpos, 0),
+    ].add(jnp.where(in_win, w, 0.0), mode="drop")
+
+    spill = valid & ~in_win
+    flat_s = spill.reshape(-1)
+    pos = jnp.cumsum(flat_s) - 1
+    dst = jnp.where(flat_s & (pos < spill_cap), pos, spill_cap)
+    src_rows = (jax.lax.iota(jnp.int32, n * k) // k)
+    s_i = jnp.full(spill_cap + 1, n, jnp.int32).at[dst].set(
+        src_rows, mode="drop")[:spill_cap]
+    s_j = jnp.zeros(spill_cap + 1, jnp.int32).at[dst].set(
+        nbr_idx.reshape(-1), mode="drop")[:spill_cap]
+    s_w = jnp.zeros(spill_cap + 1, w.dtype).at[dst].set(
+        w.reshape(-1), mode="drop")[:spill_cap]
+    overflow = jnp.sum(flat_s) > spill_cap
+    return b_w, s_i, s_j, s_w, overflow
+
+
 def band_transpose(b_w: Array) -> Array:
     """Banded form of Wᵀ from the banded form of W. The ±1-block window is
     symmetric (j in i's window ⇔ i in j's), so Wᵀ is banded with the same
@@ -163,23 +201,28 @@ def _use_pallas_band() -> bool:
         return False
 
 
-def _band_apply(b_w: Array, x: Array) -> Array:
+def _band_apply(b_w: Array, x: Array, prepadded: bool = False) -> Array:
     """Σ_j W_ij x_j with W in block-banded form — batched MXU matmul.
 
     On TPU this routes through the Pallas kernel (XLA's lowering of the
     d=3 einsum ran at ~23 GB/s effective — 30 ms per apply at [8, 32768];
     the kernel streams each tile once); the einsum stays as the portable
-    fallback."""
+    fallback. ``prepadded``: x carries one halo block each side
+    ([n + 2·BS, C]) instead of implicit zeros (sharded claim window)."""
     if _use_pallas_band():
         from pyqsm_tpu.ops.pallas_kernels import band_matvec_pallas
 
-        return band_matvec_pallas(b_w, x)
+        return band_matvec_pallas(b_w, x, prepadded=prepadded)
     n = b_w.shape[0] * BAND_BLOCK
     xb = x.reshape(-1, BAND_BLOCK, x.shape[-1])
-    zero = jnp.zeros_like(xb[:1])
-    prev = jnp.concatenate([zero, xb[:-1]], axis=0)
-    nxt = jnp.concatenate([xb[1:], zero], axis=0)
-    xw = jnp.concatenate([prev, xb, nxt], axis=1)  # [nb, 3·BS, C]
+    if prepadded:
+        prev, cur, nxt = xb[:-2], xb[1:-1], xb[2:]
+    else:
+        zero = jnp.zeros_like(xb[:1])
+        prev = jnp.concatenate([zero, xb[:-1]], axis=0)
+        cur = xb
+        nxt = jnp.concatenate([xb[1:], zero], axis=0)
+    xw = jnp.concatenate([prev, cur, nxt], axis=1)  # [nb, 3·BS, C]
     y = jnp.einsum("brc,bcd->brd", b_w, xw,
                    preferred_element_type=jnp.float32)
     return y.reshape(n, x.shape[-1])

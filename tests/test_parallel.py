@@ -227,3 +227,67 @@ def test_sharded_image_cast_matches_single(rng):
     np.testing.assert_allclose(np.asarray(got.t), np.asarray(ref.t),
                                rtol=1e-5, atol=1e-6)
     np.testing.assert_array_equal(np.asarray(got.count), np.asarray(ref.count))
+
+
+def test_sharded_banded_growth_matches_gather_and_single_device(rng):
+    """At banded scale (n >= 32768, 256-aligned shard rows, few cluster
+    ids) region_grow_sharded routes through the per-shard banded claim;
+    labels/order/retirement must be IDENTICAL to both the gather-based
+    sharded path and the single-device region_grow."""
+    from pyqsm_tpu.models.isolation import region_grow
+    from pyqsm_tpu.ops.neighbors import grid_self_radius_knn
+    from pyqsm_tpu.ops.sparse import morton_codes
+    from pyqsm_tpu.parallel import make_mesh
+    from pyqsm_tpu.parallel import growth as growth_mod
+    from pyqsm_tpu.parallel.growth import region_grow_sharded
+
+    n = 32768
+    per = n // 4
+    pts = []
+    for cx in (0.0, 6.0, 12.0, 18.0):
+        th = rng.uniform(0, 2 * np.pi, per)
+        z = rng.uniform(0, 5.0, per)
+        r = 0.3 + rng.normal(0, 0.01, per)
+        pts.append(np.stack([cx + r * np.cos(th), r * np.sin(th), z], 1))
+    pts = np.concatenate(pts).astype(np.float32)
+    mask = jnp.ones(n, bool)
+    order_m = np.asarray(jnp.argsort(morton_codes(jnp.asarray(pts), mask)))
+    pts = jnp.asarray(pts[order_m])
+
+    _, nbr_idx = grid_self_radius_knn(pts, radius=0.25, k=12, mask=mask,
+                                      sort=False, need_dists=False)
+    z = np.asarray(pts[:, 2])
+    seeds = np.full(n, -1, np.int32)
+    base = z < 0.3
+    x = np.asarray(pts[:, 0])
+    for cid, (lo, hi) in enumerate([(-3, 3), (3, 9), (9, 15), (15, 21)]):
+        rows = np.flatnonzero(base & (x >= lo) & (x < hi))[:50]
+        seeds[rows] = cid
+
+    mesh = make_mesh()
+    kw = dict(max_cycles=200, min_frontier=3, cluster_cap=16)
+    res_band = region_grow_sharded(nbr_idx, jnp.asarray(seeds), mask, mesh,
+                                   **kw)
+
+    # force the gather path by monkeypatching the band gate off
+    orig = growth_mod._claim_band_shards
+    try:
+        growth_mod._claim_band_shards = lambda *a, **k: (None,) * 4 + (
+            jnp.asarray(True),)
+        res_gather = region_grow_sharded(nbr_idx, jnp.asarray(seeds), mask,
+                                         mesh, **kw)
+    finally:
+        growth_mod._claim_band_shards = orig
+
+    res_single = region_grow(nbr_idx, jnp.asarray(seeds), mask,
+                             max_cycles=200, min_frontier=3, cluster_cap=16)
+
+    lb, lg, ls = (np.asarray(r.labels) for r in
+                  (res_band, res_gather, res_single))
+    assert (np.asarray(res_band.labels) >= 0).sum() > n // 2  # real growth
+    np.testing.assert_array_equal(lb, lg)
+    np.testing.assert_array_equal(lb, ls)
+    np.testing.assert_array_equal(np.asarray(res_band.order),
+                                  np.asarray(res_gather.order))
+    np.testing.assert_array_equal(np.asarray(res_band.active),
+                                  np.asarray(res_gather.active))
