@@ -156,3 +156,42 @@ def test_region_grow_banded_matches_gather(rng):
     assert int(res_b.cycles_run) == int(res_g.cycles_run)
     # sanity: the banded path actually engaged (labels spread beyond seeds)
     assert int(jnp.sum(res_b.labels >= 0)) > 24
+
+
+def test_region_grow_banded_fuzz_matches_gather(rng):
+    """Randomized equivalence: mostly-local graphs with random far edges
+    (spill-heavy), masked-out rows, sparse/empty seeds — banded and gather
+    claims must stay bit-identical in every trial."""
+    from pyqsm_tpu.models.isolation import _region_grow_gather
+
+    n, k = 32768, 6
+    for trial in range(4):
+        lo = np.maximum(np.arange(n)[:, None] - 200, 0)
+        local = lo + rng.integers(0, 400, (n, k))
+        far = rng.integers(0, n, (n, k))
+        use_far = rng.uniform(size=(n, k)) < 0.25
+        idx = np.where(use_far, far, np.minimum(local, n - 1)).astype(np.int32)
+        idx[idx == np.arange(n)[:, None]] = -1  # no self loops
+        drop = rng.uniform(size=(n, k)) < 0.1
+        idx[drop] = -1
+        mask = rng.uniform(size=n) > (0.2 if trial % 2 else 0.0)
+        seeds = np.full(n, -1, np.int32)
+        n_seeds = [40, 1, 12, 0][trial]
+        c_used = max(trial + 1, 1)
+        if n_seeds:
+            rows = rng.choice(n, n_seeds, replace=False)
+            seeds[rows] = rng.integers(0, c_used, n_seeds)
+        args = (jnp.asarray(idx), jnp.asarray(seeds), jnp.asarray(mask))
+        kw = dict(max_cycles=40, min_frontier=[2, 1, 3, 2][trial],
+                  cluster_cap=16)
+        res_b = region_grow(*args, **kw)
+        res_g = _region_grow_gather(*args, **kw)
+        np.testing.assert_array_equal(np.asarray(res_b.labels),
+                                      np.asarray(res_g.labels),
+                                      err_msg=f"trial {trial}")
+        np.testing.assert_array_equal(np.asarray(res_b.order),
+                                      np.asarray(res_g.order),
+                                      err_msg=f"trial {trial}")
+        np.testing.assert_array_equal(np.asarray(res_b.active),
+                                      np.asarray(res_g.active),
+                                      err_msg=f"trial {trial}")
