@@ -100,10 +100,65 @@ class _Artifact:
 ARTIFACT = _Artifact()
 
 
+def _await_backend(window_s: float, probe_timeout_s: float = 120.0) -> str | None:
+    """Probe the accelerator in a SUBPROCESS until it answers or the window
+    expires. A dead tunnel has two failure modes — fast UNAVAILABLE errors
+    and indefinite hangs — and both must stay out of this process: an
+    in-process ``jax.default_backend()`` either raises (killing the bench,
+    the r03 artifact loss) or hangs with no way to retry (xla_bridge caches
+    the failed init). Subprocess probes are killable and retryable; the
+    probe exits before this process connects, so the single-client rule
+    holds. Returns the probe's backend name, or None if the window expired.
+    """
+    import subprocess
+
+    probe = ("import jax\n"
+             "x = jax.numpy.ones((128, 128))\n"
+             "(x @ x).block_until_ready()\n"
+             "print(jax.default_backend())\n")
+    env = dict(os.environ)
+    env.pop("JAX_PLATFORMS", None)
+    deadline = time.monotonic() + window_s
+    attempt = 0
+    while True:
+        attempt += 1
+        try:
+            out = subprocess.run(
+                [sys.executable, "-c", probe], env=env, timeout=probe_timeout_s,
+                capture_output=True, text=True)
+            if out.returncode == 0 and out.stdout.strip():
+                return out.stdout.strip().splitlines()[-1]
+            err = (out.stderr or "").strip().splitlines()
+            reason = err[-1][:200] if err else f"rc={out.returncode}"
+        except subprocess.TimeoutExpired:
+            reason = f"probe hang >{probe_timeout_s:.0f}s"
+        remaining = deadline - time.monotonic()
+        _progress(f"backend probe {attempt} failed ({reason}); "
+                  f"{remaining:.0f}s of retry window left")
+        ARTIFACT.update(backend_probe_attempts=attempt,
+                        backend_probe_last_error=reason,
+                        note="waiting for accelerator backend")
+        if remaining <= 0:
+            return None
+        time.sleep(min(60.0, max(remaining, 1.0)))
+
+
 def _bench_body(args) -> None:
     # first emission before jax even imports: if the device tunnel is down
     # (uploads hang indefinitely) any kill still finds a parsable line
     ARTIFACT.update(note="started; device not yet contacted")
+
+    if args.backend != "cpu":
+        probed = _await_backend(args.backend_retry)
+        if probed is None:
+            # r03 lost its round number to exactly this: a dead tunnel made
+            # backend init raise, rc=1, and the driver parsed nothing. Emit
+            # the full-schema line and return cleanly instead.
+            ARTIFACT.update(backend_error="accelerator unavailable after "
+                            f"{args.backend_retry:.0f}s retry window",
+                            note="backend unavailable; no measurement")
+            return
+        _progress(f"backend probe ok: {probed}")
 
     import jax
 
@@ -119,7 +174,12 @@ def _bench_body(args) -> None:
     # asserts an accelerator is actually present.
     if args.backend == "cpu":
         jax.config.update("jax_platforms", "cpu")
-    backend = jax.default_backend()
+    try:
+        backend = jax.default_backend()
+    except Exception as e:  # noqa: BLE001 — probe passed but init still died
+        ARTIFACT.update(backend_error=f"{type(e).__name__}: {e}"[:300],
+                        note="backend init failed; no measurement")
+        return
     if args.backend == "tpu" and backend == "cpu":
         _progress("WARNING: no TPU backend found; running on CPU "
                   "(pass --backend cpu to silence)")
@@ -375,6 +435,12 @@ def main() -> int:
                         help="'tpu' (default; warns if absent) or 'cpu' "
                         "(forced via jax.config — the axon plugin ignores "
                         "JAX_PLATFORMS=cpu)")
+    parser.add_argument("--backend-retry", type=float,
+                        default=float(os.environ.get("BENCH_BACKEND_RETRY_S",
+                                                     600)),
+                        help="seconds to keep re-probing a dead accelerator "
+                        "tunnel before emitting a backend_error artifact "
+                        "(subprocess probes; exits 0 either way)")
     parser.add_argument("--deadline", type=float,
                         default=float(os.environ.get("BENCH_DEADLINE_S", 0)),
                         help="self-deadline in seconds (0 = none): emit the "
@@ -406,8 +472,13 @@ def main() -> int:
     while t.is_alive():  # main thread stays signal-responsive
         time.sleep(0.2)
     if worker_error:
+        # never re-raise: rc!=0 plus a traceback as the last stdout line is
+        # how r03's number was lost. Traceback goes to stderr; the last
+        # stdout line stays the parsable artifact; rc stays 0.
+        import traceback
+
+        traceback.print_exception(worker_error[0], file=sys.stderr)
         ARTIFACT.emit_signal(f"worker_error:{type(worker_error[0]).__name__}")
-        raise worker_error[0]
     return 0
 
 

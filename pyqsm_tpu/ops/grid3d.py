@@ -203,11 +203,14 @@ def build_grid3d(
     if len(ec):
         occ[np.unique(ec)] = True
     if occ.any() and not occ.all():
-        from scipy.ndimage import distance_transform_cdt
+        try:
+            from scipy.ndimage import distance_transform_cdt
 
-        dist = distance_transform_cdt(
-            ~occ.reshape(nx, ny, nz), metric="chessboard"
-        ).reshape(-1)
+            dist = distance_transform_cdt(
+                ~occ.reshape(nx, ny, nz), metric="chessboard"
+            ).reshape(-1)
+        except ImportError:  # scipy is an optional extra ([host])
+            dist = _chebyshev_dt(occ.reshape(nx, ny, nz)).reshape(-1)
     else:
         dist = np.zeros(ncells, np.int64)
     skip = np.minimum(dist, 255).astype(np.uint8)
@@ -257,6 +260,42 @@ def build_grid3d(
         cell_rows=cell_rows,
         packed_cells=packed_cells,
     )
+
+
+def _chebyshev_dt(occ3: np.ndarray, max_dist: int = 255) -> np.ndarray:
+    """Chebyshev (chessboard) distance-to-nearest-occupied, pure numpy.
+
+    Fallback when scipy (the ``[host]`` extra) is absent. Iterative binary
+    dilation with a separable 3×3×3 chessboard element: after ``i`` rounds
+    the dilated set is exactly {cells with Chebyshev distance ≤ i}. Stops at
+    ``max_dist`` — the caller's skip map saturates at 255 anyway, and a
+    255-cell empty-space jump is already the whole grid in practice."""
+    dist = np.zeros(occ3.shape, np.int64)
+    reached = occ3.copy()
+    for i in range(1, max_dist + 1):
+        if reached.all():
+            break
+        grown = reached.copy()
+        for ax in range(3):
+            lo = np.roll(grown, 1, axis=ax)
+            hi = np.roll(grown, -1, axis=ax)
+            # np.roll wraps; sever the wrap so distance never crosses edges
+            idx_lo = [slice(None)] * 3
+            idx_lo[ax] = 0
+            lo[tuple(idx_lo)] = False
+            idx_hi = [slice(None)] * 3
+            idx_hi[ax] = -1
+            hi[tuple(idx_hi)] = False
+            grown |= lo | hi
+        new = grown & ~reached
+        if not new.any():
+            dist[~reached] = max_dist
+            break
+        dist[new] = i
+        reached = grown
+    else:
+        dist[~reached] = max_dist
+    return dist
 
 
 def _mt_batch(o, d, slots, packed, alive):

@@ -181,3 +181,18 @@ def test_wavefront_matches_grid_cast(rng):
         np.testing.assert_allclose(t1, t0, atol=1e-4)
         np.testing.assert_array_equal(np.asarray(hits.count),
                                       np.asarray(ref.count))
+
+
+def test_chebyshev_dt_matches_scipy():
+    """The numpy fallback for the proximity-skip map must match scipy's
+    chessboard distance transform wherever both are defined (< saturation)."""
+    from scipy.ndimage import distance_transform_cdt
+
+    from pyqsm_tpu.ops.grid3d import _chebyshev_dt
+
+    rng = np.random.default_rng(3)
+    occ = rng.random((9, 7, 11)) < 0.08
+    occ[4, 3, 5] = True  # guarantee non-empty
+    ours = _chebyshev_dt(occ)
+    ref = distance_transform_cdt(~occ, metric="chessboard")
+    np.testing.assert_array_equal(ours, np.asarray(ref))

@@ -6,6 +6,32 @@ from pyqsm_tpu.config import IsolationConfig
 from pyqsm_tpu.models.plot_pipeline import process_plot
 
 
+def test_process_plot_fast_two_trees(rng):
+    """Fast (default-suite) end-to-end process_plot: the ladder +
+    contraction + topology integration path must stay covered in the
+    default CI run (ADVICE r3: both slow tests deselected left the
+    pipeline rewrite with zero default coverage). Tiny clouds, reduced
+    caps; asserts structure, not tight geometry."""
+    def tree(cx, r, n=3000):
+        th = rng.uniform(0, 2 * np.pi, n)
+        z = rng.uniform(0, 5, n)
+        return np.stack([cx + (r + rng.normal(0, .005, n)) * np.cos(th),
+                         (r + rng.normal(0, .005, n)) * np.sin(th), z], 1)
+    pts = np.concatenate([tree(0, 0.3), tree(6, 0.2)]).astype(np.float32)
+    res = process_plot(
+        jnp.asarray(pts), jnp.ones(len(pts), bool),
+        iso_cfg=IsolationConfig(base_min_points=15, low_pctile=5.0,
+                                max_dist=0.35, cycles=200, min_frontier=2),
+        skeleton_voxel=0.08, max_skeleton_points=2048, min_tree_points=300,
+    )
+    assert len(res.trees) == 2
+    assert res.trees[0].n_points >= res.trees[1].n_points
+    for tr in res.trees:
+        assert int(tr.cylinders.count()) >= 1
+        radii = np.asarray(tr.cylinders.radius)[np.asarray(tr.cylinders.mask)]
+        assert np.all(radii > 0)
+
+
 @pytest.mark.slow
 def test_process_plot_two_trees(rng):
     def tree(cx, r):
