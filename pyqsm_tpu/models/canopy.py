@@ -91,7 +91,13 @@ def width_at_height(
     max_slice_points: int = 2048,
 ) -> float:
     """DBH-style width: p95 of pairwise distances in the slice at
-    ``height`` ± tolerance above the cloud base (ref ``width_at_height``)."""
+    ``height`` ± tolerance above the cloud base (ref ``width_at_height``).
+
+    ESTIMATOR above 2048 slice points: rows are strided-subsampled here
+    (and again inside ``width_p95`` past its 8192 pairwise cap) before the
+    O(N²) distance matrix — the returned width is then the p95 of a uniform
+    row subsample, a consistent estimate of the slice statistic rather than
+    the exact value (see PARITY.md, canopy metrics)."""
     z = points[:, 2]
     zmin = jnp.min(jnp.where(mask, z, jnp.inf))
     band = mask & (z >= zmin + height - tolerance) & (z <= zmin + height + tolerance)

@@ -88,6 +88,7 @@ def region_grow(
         and cluster_cap <= 128
         and n % 256 == 0
         and n >= 32768
+        and _band_claim_bytes(n, int(cluster_cap)) <= _band_bytes_budget()
     )
     if use_band:
         b_adj, s_i, s_j, s_w, over = _claim_band(nbr_idx, mask)
@@ -100,6 +101,25 @@ def region_grow(
         nbr_idx, seed_labels, mask, max_cycles=max_cycles,
         min_frontier=min_frontier, scatter_push=scatter_push,
         cluster_cap=cluster_cap, active0=active0)
+
+
+def _band_claim_bytes(n: int, cluster_cap: int) -> int:
+    """Resident-HBM estimate of the banded claim at ``n`` rows: the
+    [n/256, 256, 768] bf16 window blocks (1536 B/row — ~24x the k=16 ELL
+    footprint), the 6n-entry spill triplet (i32+i32+bf16), and the per-cycle
+    one-hot frontier / proposer-count pair ([n, c] bf16 + f32)."""
+    return n * (1536 + 6 * 10 + 6 * cluster_cap)
+
+
+def _band_bytes_budget() -> int:
+    """Upper bound on banded-claim HBM (default 8 GiB — at 10M-pt plots the
+    ~3-4M voxel representatives cost ~5-6 GiB of band, which fits v5e's
+    16 GiB alongside the resident cloud; larger inputs must ride the gather
+    kernel rather than risk RESOURCE_EXHAUSTED mid-bench). Override with
+    ``PYQSM_BAND_BYTES_BUDGET``."""
+    import os
+
+    return int(os.environ.get("PYQSM_BAND_BYTES_BUDGET", 8 << 30))
 
 
 @jax.jit

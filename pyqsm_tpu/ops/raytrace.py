@@ -70,13 +70,29 @@ def _moller_trumbore(
 
 
 _GRID_CACHE: list = []  # [(weakref(vertices), weakref(triangles), grid)]
-_GRID_CACHE_MAX = 4
+_GRID_CACHE_MAX = 2
+_GRID_CACHE_BYTES = 2 << 30  # total packed-row budget across cached grids
+
+
+def clear_grid_cache() -> None:
+    """Drop every cached ``Grid3D`` — frees the packed per-cell rows (up to
+    ``cell_rows_budget`` of device memory each) in long-lived processes."""
+    _GRID_CACHE.clear()
+
+
+def _grid_nbytes(g) -> int:
+    return sum(int(getattr(a, "nbytes", 0)) for a in g)
 
 
 def _cached_grid3d(vertices: Array, triangles: Array):
     """Build-or-reuse a ``Grid3D`` keyed on the mesh array OBJECTS, so
     repeat casts against the same mesh don't silently pay the host-side
-    argsort build every call (weakrefs — freed meshes drop out)."""
+    argsort build every call (weakrefs — freed meshes drop out). Capacity is
+    bounded in BYTES across entries, not just count: each grid can hold up
+    to ``cell_rows_budget`` (1 GiB) of packed per-cell rows, and repeat
+    casts against distinct meshes must not silently pin several GiB of HBM
+    behind the byte-identity keys. Evicts oldest-first; ``clear_grid_cache``
+    frees everything."""
     import weakref
 
     from pyqsm_tpu.ops.grid3d import build_grid3d
@@ -97,6 +113,10 @@ def _cached_grid3d(vertices: Array, triangles: Array):
     try:
         _GRID_CACHE.append((weakref.ref(vertices), weakref.ref(triangles), g))
         del _GRID_CACHE[:-_GRID_CACHE_MAX]
+        while (len(_GRID_CACHE) > 1
+               and sum(_grid_nbytes(e[2]) for e in _GRID_CACHE)
+               > _GRID_CACHE_BYTES):
+            _GRID_CACHE.pop(0)
     except TypeError:  # non-weakref-able inputs (plain ndarray subclasses)
         pass
     return g

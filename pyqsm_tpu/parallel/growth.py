@@ -222,8 +222,13 @@ def region_grow_sharded(
 
     from pyqsm_tpu.ops.sparse import BAND_BLOCK as _bs
 
+    from pyqsm_tpu.models.isolation import _band_bytes_budget, _band_claim_bytes
+
+    # per-shard HBM bound: each device holds only its row slice of the band
     use_band = (cluster_cap <= 128 and n_local % _bs == 0
-                and nbr_idx.shape[0] >= 32768)
+                and nbr_idx.shape[0] >= 32768
+                and _band_claim_bytes(n_local, cluster_cap)
+                <= _band_bytes_budget())
     if use_band:
         b_w, s_i, s_j, s_w, over = _claim_band_shards(nbr_idx, mask, n_dev)
         use_band = not bool(over)
