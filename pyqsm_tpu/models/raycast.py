@@ -124,6 +124,33 @@ def raycast_to_pcd(mesh: TriMesh, hits: Hits) -> Array:
     return hit_points(hits, mesh.vertices, mesh.triangles)
 
 
+def sparse_cast_with_intersections(
+    mesh: TriMesh,
+    nx: int = 64,
+    ny: int = 64,
+    max_hits: int = 8,
+    direction=(0.0, 0.0, -1.0),
+) -> tuple["HitList", Array]:
+    """Parallel-ray grid (nadir by default) with EVERY crossing enumerated
+    per ray (ref ``sparse_cast_w_intersections``, ray_casting.py:151-192:
+    ray grid :159-165, ``list_intersections`` + barycentric interior-point
+    reconstruction :171-180; ``direction`` generalises to tilted sun angles).
+
+    Returns the [R, max_hits] hit list and the [R, max_hits, 3] world-space
+    crossing cloud (NaN past each ray's count) — the reference uses these
+    interior crossings to see through the canopy, not just its skin."""
+    from pyqsm_tpu.ops.raytrace import hit_points_list, list_intersections
+
+    v = np.asarray(mesh.vertices)
+    lo, hi = v.min(0), v.max(0)
+    origins, dirs = parallel_rays(
+        lo, hi, jnp.asarray(direction, jnp.float32), nx, ny,
+        z_offset=1.0)
+    hl = list_intersections(origins, dirs, mesh.vertices, mesh.triangles,
+                            max_hits=max_hits)
+    return hl, hit_points_list(origins, dirs, hl)
+
+
 def mri_slices(
     mesh: TriMesh,
     axis: int = 2,

@@ -230,6 +230,120 @@ def _cast_rays_xla(
     )
 
 
+class HitList(NamedTuple):
+    """Per-ray enumeration of every crossing, nearest-first (-1/inf pad)."""
+
+    t: Array  # [R, K] ascending hit distances, inf past count
+    tri: Array  # [R, K] i32 triangle ids, -1 past count
+    uv: Array  # [R, K, 2] barycentric (u, v) per hit
+    count: Array  # [R] i32 TOTAL crossings along the ray (may exceed K)
+
+
+def list_intersections(
+    origins: Array,
+    dirs: Array,
+    vertices: Array,
+    triangles: Array,
+    max_hits: int = 8,
+    ray_tile: int = 2048,
+    tri_tile: int = 1024,
+) -> HitList:
+    """Enumerate every ray–triangle crossing, nearest-first, up to a static
+    ``max_hits`` per ray (Embree ``scene.list_intersections``,
+    ray_casting.py:151-192 — the reference reconstructs interior hit points
+    of nadir ray grids from exactly this enumeration).
+
+    TPU-native form: the unbounded per-ray hit lists Embree returns become
+    a fixed [R, max_hits] top-K — each triangle tile's candidate distances
+    are merged into the running K-nearest with one ``lax.top_k`` per tile,
+    so memory stays O(ray_tile × (tri_tile + K)) for any scene size.
+    ``count`` is exact even when it exceeds ``max_hits`` (callers can
+    re-run with a larger K; parity/occupancy never needs the overflow).
+    """
+    return _list_intersections_xla(origins, dirs, vertices, triangles,
+                                   max_hits, ray_tile, tri_tile)
+
+
+@partial(jax.jit, static_argnames=("max_hits", "ray_tile", "tri_tile"))
+def _list_intersections_xla(
+    origins: Array,
+    dirs: Array,
+    vertices: Array,
+    triangles: Array,
+    max_hits: int,
+    ray_tile: int,
+    tri_tile: int,
+) -> HitList:
+    r = origins.shape[0]
+    k = max_hits
+    tri_valid = triangles[:, 0] >= 0
+    tri = jnp.maximum(triangles, 0)
+    v0 = vertices[tri[:, 0]]
+    e1 = vertices[tri[:, 1]] - v0
+    e2 = vertices[tri[:, 2]] - v0
+
+    v0p = _pad_rows(v0, tri_tile, 0.0)
+    e1p = _pad_rows(e1, tri_tile, 0.0)
+    e2p = _pad_rows(e2, tri_tile, 0.0)
+    validp = _pad_rows(tri_valid, tri_tile, False)
+    nt = v0p.shape[0] // tri_tile
+    v0t = v0p.reshape(nt, tri_tile, 3)
+    e1t = e1p.reshape(nt, tri_tile, 3)
+    e2t = e2p.reshape(nt, tri_tile, 3)
+    vt = validp.reshape(nt, tri_tile)
+    tri_ids = jnp.arange(nt * tri_tile, dtype=jnp.int32).reshape(nt, tri_tile)
+
+    o = _pad_rows(origins, ray_tile, 0.0).reshape(-1, ray_tile, 3)
+    d = _pad_rows(dirs, ray_tile, 0.0).reshape(-1, ray_tile, 3)
+
+    def per_ray_tile(od):
+        ot, dt = od
+
+        def step(carry, tile):
+            best_t, best_id, best_uv, cnt = carry
+            v0_, e1_, e2_, valid_, ids_ = tile
+            t, u, v = _moller_trumbore(ot, dt, v0_, e1_, e2_, valid_)
+            cnt = cnt + jnp.sum(jnp.isfinite(t), axis=1).astype(jnp.int32)
+            # merge: K running nearest ∪ tri_tile candidates → K nearest
+            cat_t = jnp.concatenate([best_t, t], axis=1)
+            cat_id = jnp.concatenate(
+                [best_id, jnp.broadcast_to(ids_, t.shape)], axis=1)
+            cat_uv = jnp.concatenate(
+                [best_uv, jnp.stack([u, v], axis=-1)], axis=1)
+            neg, sel = jax.lax.top_k(-cat_t, k)
+            best_t = -neg
+            best_id = jnp.take_along_axis(cat_id, sel, axis=1)
+            best_id = jnp.where(jnp.isfinite(best_t), best_id, -1)
+            best_uv = jnp.take_along_axis(cat_uv, sel[..., None], axis=1)
+            return (best_t, best_id, best_uv, cnt), None
+
+        init = (
+            jnp.full((ray_tile, k), jnp.inf),
+            jnp.full((ray_tile, k), -1, jnp.int32),
+            jnp.zeros((ray_tile, k, 2)),
+            jnp.zeros(ray_tile, jnp.int32),
+        )
+        (bt, bi, buv, cnt), _ = jax.lax.scan(
+            step, init, (v0t, e1t, e2t, vt, tri_ids))
+        return bt, bi, buv, cnt
+
+    bt, bi, buv, cnt = jax.lax.map(per_ray_tile, (o, d))
+    return HitList(
+        t=bt.reshape(-1, k)[:r],
+        tri=bi.reshape(-1, k)[:r],
+        uv=buv.reshape(-1, k, 2)[:r],
+        count=cnt.reshape(-1)[:r],
+    )
+
+
+def hit_points_list(origins: Array, dirs: Array, hits: HitList) -> Array:
+    """[R, K, 3] world-space location of every enumerated crossing
+    (``o + t·d`` — equals the barycentric reconstruction of
+    ray_casting.py:171-180 at the same hit); NaN past ``count``/K."""
+    p = origins[:, None, :] + hits.t[..., None] * dirs[:, None, :]
+    return jnp.where((hits.tri >= 0)[..., None], p, jnp.nan)
+
+
 # ---------------------------------------------------------------------------
 # ray generators (ray_casting.py:45-47 pinhole; :159-165 nadir grid)
 # ---------------------------------------------------------------------------

@@ -148,3 +148,109 @@ def test_qsm_mesh_roundtrip(rng):
     pts = jnp.asarray(np.array([[0, 0, 1.0], [1.0, 0, 1.0]], np.float32))
     occ = np.asarray(occupancy(pts, mesh.vertices, mesh.triangles))
     np.testing.assert_array_equal(occ, [True, False])
+
+
+def _brute_hitlist(origins, dirs, verts, tris, eps=1e-9):
+    """NumPy oracle: every crossing per ray, sorted by t."""
+    out = []
+    v = np.asarray(verts, np.float64)
+    f = np.asarray(tris)
+    for o, d in zip(np.asarray(origins, np.float64), np.asarray(dirs, np.float64)):
+        hits = []
+        for ti, (a, b, c) in enumerate(f):
+            if a < 0:
+                continue
+            v0, e1, e2 = v[a], v[b] - v[a], v[c] - v[a]
+            p = np.cross(d, e2)
+            det = e1 @ p
+            if abs(det) < eps:
+                continue
+            tv = o - v0
+            u = (tv @ p) / det
+            q = np.cross(tv, e1)
+            w = (d @ q) / det
+            t = (e2 @ q) / det
+            if u >= 0 and w >= 0 and u + w <= 1 and t > eps:
+                hits.append((t, ti, u, w))
+        hits.sort()
+        out.append(hits)
+    return out
+
+
+def test_list_intersections_matches_brute_oracle(rng):
+    from pyqsm_tpu.ops.raytrace import list_intersections, hit_points_list
+
+    # 6 stacked unit quads + one rotated triangle, rays at random xy
+    meshes = [unit_square_mesh(z=0.3 * i) for i in range(6)]
+    extra = TriMesh(
+        jnp.asarray(np.array([[0.1, 0.1, 0.95], [0.9, 0.2, 0.95],
+                              [0.4, 0.9, 0.95]], np.float32)),
+        jnp.asarray(np.array([[0, 1, 2]], np.int32)))
+    mesh = merge_meshes(meshes + [extra])
+    r = 64
+    xy = rng.uniform(0.05, 0.95, (r, 2)).astype(np.float32)
+    origins = jnp.asarray(np.column_stack([xy, np.full(r, -1.0, np.float32)]))
+    dirs = jnp.broadcast_to(jnp.asarray([0.017, 0.013, 1.0], jnp.float32), (r, 3))
+
+    hl = list_intersections(origins, dirs, mesh.vertices, mesh.triangles,
+                            max_hits=8, ray_tile=32, tri_tile=4)
+    oracle = _brute_hitlist(origins, dirs, mesh.vertices, mesh.triangles)
+    for i, hits in enumerate(oracle):
+        n = len(hits)
+        assert int(hl.count[i]) == n
+        got_t = np.asarray(hl.t[i])
+        got_tri = np.asarray(hl.tri[i])
+        for j, (t, ti, u, w) in enumerate(hits[:8]):
+            assert got_t[j] == pytest.approx(t, rel=1e-4)
+            assert got_tri[j] == ti
+            assert np.asarray(hl.uv[i, j, 0]) == pytest.approx(u, abs=1e-4)
+            assert np.asarray(hl.uv[i, j, 1]) == pytest.approx(w, abs=1e-4)
+        assert np.all(np.isinf(got_t[n:])) and np.all(got_tri[n:] == -1)
+
+    # world-space reconstruction: z of the k-th crossing == quad plane
+    pts = hit_points_list(origins, dirs, hl)
+    for i, hits in enumerate(oracle):
+        for j, (t, ti, _, _) in enumerate(hits[:8]):
+            expect = np.asarray(origins[i]) + t * np.asarray(dirs[i])
+            np.testing.assert_allclose(np.asarray(pts[i, j]), expect,
+                                       rtol=1e-4, atol=1e-5)
+
+
+def test_list_intersections_overflow_count_exact():
+    from pyqsm_tpu.ops.raytrace import list_intersections
+
+    mesh = merge_meshes([unit_square_mesh(z=0.1 * i) for i in range(12)])
+    origins = jnp.asarray(np.array([[0.37, 0.52, -1.0]], np.float32))
+    dirs = jnp.asarray(np.array([[0.0, 0.0, 1.0]], np.float32))
+    hl = list_intersections(origins, dirs, mesh.vertices, mesh.triangles,
+                            max_hits=4)
+    assert int(hl.count[0]) == 12  # exact even past K
+    t = np.asarray(hl.t[0])
+    np.testing.assert_allclose(t, 1.0 + 0.1 * np.arange(4), rtol=1e-5)
+
+
+def test_sparse_cast_with_intersections_sphere():
+    from pyqsm_tpu.models.raycast import sparse_cast_with_intersections
+
+    mesh = sphere_mesh(jnp.asarray([0.0, 0.0, 0.0]), 1.0, n_lat=24, n_lon=24)
+    # slight tilt keeps rays off exact shared-edge/vertex grazing (a
+    # measure-zero float boundary where crossing parity is undefined —
+    # Embree has the same edge behavior)
+    hl, pts = sparse_cast_with_intersections(
+        mesh, nx=16, ny=16, max_hits=4, direction=(0.0171, 0.0133, -1.0))
+    cnt = np.asarray(hl.count)
+    # rays through a closed sphere cross an even number of times
+    assert np.all(cnt % 2 == 0)
+    assert cnt.max() == 2
+    inside = cnt == 2
+    # grid spans the AABB's bounding sphere (radius sqrt(3)) so the unit
+    # sphere covers ~pi/12 of the 16x16 footprint (~67 rays, minus faceting)
+    assert inside.sum() > 40
+    p = np.asarray(pts)
+    # entry point is on the upper hemisphere, exit on the lower
+    assert np.nanmin(p[inside, 0, 2]) > -0.05
+    assert np.nanmax(p[inside, 1, 2]) < 0.05
+    # every reconstructed crossing lies on the sphere (mesh is a 24x24
+    # faceted approximation -> loose tolerance)
+    r = np.linalg.norm(p[inside][:, :2, :], axis=-1)
+    assert np.all(np.abs(r - 1.0) < 0.05)
