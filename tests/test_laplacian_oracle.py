@@ -1,0 +1,129 @@
+"""Quantified accuracy bound of the heat-kernel kNN Laplacian contraction
+against a robust-Laplacian-style oracle (VERDICT r3 #7, SURVEY §7 hard-parts
+"documented accuracy bounds").
+
+Oracle = scipy tufted-style cotan Laplacian (tangent-plane Delaunay
+one-rings + intrinsic mollification + lumped barycentric mass — the
+construction behind ``robust_laplacian.point_cloud_laplacian``,
+ref skeletonize.py:253-255) contracted with EXACT spsolve normal equations
+(ref ``least_squares_sparse``, skeletonize.py:150-180) under the shared
+weight schedule. Pipeline = ``extract_skeleton`` as shipped.
+
+Measured behavior this suite pins (see docs/DESIGN.md "Laplacian accuracy
+bound" for the numbers):
+
+- radial collapse: the oracle contracts a cylinder wall ~onto its axis
+  (xy p50 ~0.006 m at r=0.3 m); the pipeline's PCG-from-x0 contraction is
+  looser (xy p50 ~0.10 m = r/3) — bounded here at p50 < 0.13 m.
+- length preservation: the pipeline keeps MORE skeleton extent than the
+  oracle (the exact solver's endpoint shrinkage is stronger) — bounded at
+  >= 80% of the oracle's z-extent.
+- skeleton fidelity on branching shapes: both land within ~0.04 m (p50) of
+  the true skeleton polyline; downstream simplified topology (FPS -> MST ->
+  degree-2 contraction) is IDENTICAL (3 endpoints / 1 junction / 3 edges).
+"""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from pyqsm_tpu.models.skeleton import extract_skeleton, extract_topology
+from pyqsm_tpu.utils.laplacian_oracle import (
+    chamfer,
+    contract_exact,
+    tufted_style_laplacian,
+)
+
+scipy = pytest.importorskip("scipy")
+
+
+def _branch(rng, n=2000, radius=0.3, length=4.0, noise=0.005,
+            axis=(0.0, 0.0, 1.0), base=(0.0, 0.0, 0.0)):
+    th = rng.uniform(0, 2 * np.pi, n)
+    z = rng.uniform(0, length, n)
+    r = radius + rng.normal(0, noise, n)
+    a = np.asarray(axis) / np.linalg.norm(axis)
+    ref = np.array([1.0, 0, 0]) if abs(a[2]) > 0.9 else np.array([0, 0, 1.0])
+    u = np.cross(a, ref)
+    u /= np.linalg.norm(u)
+    v = np.cross(a, u)
+    return (np.asarray(base) + z[:, None] * a + (r * np.cos(th))[:, None] * u
+            + (r * np.sin(th))[:, None] * v).astype(np.float32)
+
+
+def _seg_dist(p, a, b):
+    ab = b - a
+    t = np.clip(((p - a) @ ab) / (ab @ ab), 0, 1)
+    return np.linalg.norm(p - (a + t[:, None] * ab), axis=1)
+
+
+def test_branch_contraction_vs_tufted_oracle(rng):
+    pts = _branch(rng)
+    oracle, _, _ = contract_exact(pts, lambda p: tufted_style_laplacian(p, 20))
+    res = extract_skeleton(jnp.asarray(pts), jnp.ones(len(pts), bool))
+    mine = np.asarray(res.contracted)
+
+    xy_p50_oracle = np.median(np.linalg.norm(oracle[:, :2], axis=1))
+    xy_p50_mine = np.median(np.linalg.norm(mine[:, :2], axis=1))
+    # oracle collapses ~onto the axis; the pipeline is bounded at r/2.3
+    assert xy_p50_oracle < 0.02
+    assert xy_p50_mine < 0.13
+
+    # the pipeline must NOT axially over-contract (the failure mode the
+    # exact-solve heat kernel exhibits — z collapses to ~0.1 m; the PCG
+    # x0/iteration budget is what prevents it). Keep >= 80% of the oracle's
+    # preserved extent.
+    z_oracle = oracle[:, 2].max() - oracle[:, 2].min()
+    z_mine = mine[:, 2].max() - mine[:, 2].min()
+    assert z_mine >= 0.8 * z_oracle
+
+    # overall geometric deviation between the two contracted clouds
+    assert chamfer(mine, oracle) < 0.3
+
+
+def test_junction_contraction_vs_tufted_oracle(rng):
+    y = np.concatenate([
+        _branch(rng, 1200, 0.25, 3.0),
+        _branch(rng, 700, 0.15, 2.2, axis=(0.5, 0, 0.8), base=(0, 0, 3.0)),
+        _branch(rng, 700, 0.15, 2.2, axis=(-0.5, 0, 0.8), base=(0, 0, 3.0)),
+    ]).astype(np.float32)
+    oracle, _, _ = contract_exact(y, lambda p: tufted_style_laplacian(p, 20))
+    res = extract_skeleton(jnp.asarray(y), jnp.ones(len(y), bool))
+    mine = np.asarray(res.contracted)
+
+    ax1 = np.array([0.5, 0, 0.8]) / np.linalg.norm([0.5, 0, 0.8])
+    ax2 = np.array([-0.5, 0, 0.8]) / np.linalg.norm([0.5, 0, 0.8])
+    top = np.array([0, 0, 3.0])
+
+    def skel_dist(c):
+        return np.minimum.reduce([
+            _seg_dist(c, np.zeros(3), top),
+            _seg_dist(c, top, top + 2.2 * ax1),
+            _seg_dist(c, top, top + 2.2 * ax2),
+        ])
+
+    d_oracle = skel_dist(oracle)
+    d_mine = skel_dist(mine)
+    # both contractions land on the true skeleton; the pipeline's p50 must
+    # stay within 0.02 m of the oracle's (measured: BETTER — 0.023 vs 0.033)
+    assert np.median(d_oracle) < 0.06
+    assert np.median(d_mine) < np.median(d_oracle) + 0.02
+    assert np.quantile(d_mine, 0.95) < np.quantile(d_oracle, 0.95) + 0.06
+
+    # downstream simplified topology identical: 3 endpoints, 1 junction
+    def topo_stats(c):
+        c = jnp.asarray(np.asarray(c, np.float32))
+        m = jnp.ones(c.shape[0], bool)
+        tr = extract_topology(c, m, jnp.zeros_like(c))
+        g = tr.graph
+        em = np.asarray(g.edge_mask)
+        eu, ev = np.asarray(g.edge_u)[em], np.asarray(g.edge_v)[em]
+        deg = np.bincount(np.concatenate([eu, ev]),
+                          minlength=int(tr.topology.vertices.shape[0]))
+        used = np.zeros_like(deg, bool)
+        used[eu] = True
+        used[ev] = True
+        return (int(((deg == 1) & used).sum()),
+                int(((deg >= 3) & used).sum()), int(em.sum()))
+
+    assert topo_stats(oracle) == topo_stats(mine) == (3, 1, 3)
