@@ -320,9 +320,87 @@ def _bench_body(args) -> None:
         jax.block_until_ready(r.t)
         ARTIFACT.update(
             sun_grid_Mrays_s=round(n_sun / (time.perf_counter() - t0r) / 1e6, 2),
-            note="raycast done; sphere QSM pending")
+            note="raycast done; raycast tail pending")
     except Exception as e:  # noqa: BLE001 — secondary metric must not kill bench
         ARTIFACT.update(raycast_error=type(e).__name__)
+    _progress("raycast tail: undecimated pinhole")
+
+    # raycast tail (VERDICT r3 #3): the three previously-unmeasured paths.
+    # (1) pinhole on the UNdecimated marching-tet scene — the honest
+    # no-quality-tradeoff number next to the decimated headline
+    try:
+        raw_scene = poisson_like_mesh(pts, canopy_mask, voxel=0.12,
+                                      blur_iters=1)
+        grid_raw = build_image_grid(raw_scene.vertices, raw_scene.triangles,
+                                    eye, center, jnp.asarray([0.0, 0, 1.0]),
+                                    60.0, W, H)
+        h = image_cast(grid_raw)
+        jax.block_until_ready(h.t)
+        t0r = time.perf_counter()
+        h = image_cast(grid_raw)
+        _ = int(np.isfinite(np.asarray(h.t)).sum())  # forced host transfer
+        ARTIFACT.update(
+            raycast_undecimated_Mrays_s=round(
+                W * H / (time.perf_counter() - t0r) / 1e6, 2),
+            note="undecimated pinhole done; wavefront pending")
+        del raw_scene, grid_raw
+    except Exception as e:  # noqa: BLE001
+        ARTIFACT.update(raycast_undecimated_error=type(e).__name__)
+    _progress("raycast tail: wavefront unstructured bundle")
+
+    # (2) wavefront cell-major caster on an ARBITRARY bundle (the Embree
+    # cast_rays capability for unstructured rays, ref ray_casting.py:151-192;
+    # STATUS gap 4 target >=5 Mrays/s)
+    try:
+        from pyqsm_tpu.ops.grid3d import build_grid3d, grid_cast_wavefront
+
+        rngr = np.random.default_rng(0)
+        n_bundle = 1_000_000
+        vtx = np.asarray(scene.vertices)
+        blo, bhi = vtx.min(0), vtx.max(0)
+        o_b = jnp.asarray(rngr.uniform(blo - 2, bhi + 2,
+                                       (n_bundle, 3)).astype(np.float32))
+        d_b = rngr.normal(size=(n_bundle, 3)).astype(np.float32)
+        d_b /= np.linalg.norm(d_b, axis=1, keepdims=True)
+        t0r = time.perf_counter()
+        grid3 = build_grid3d(scene.vertices, scene.triangles)
+        # host-side build step (Embree builds its BVH on CPU too) — reported
+        # so the amortization claim is checkable at bench scale
+        ARTIFACT.update(grid3d_build_s=round(time.perf_counter() - t0r, 2))
+        hb = grid_cast_wavefront(grid3, o_b, jnp.asarray(d_b))
+        _ = int(np.isfinite(np.asarray(hb.t)).sum())
+        t0r = time.perf_counter()
+        hb = grid_cast_wavefront(grid3, o_b, jnp.asarray(d_b))
+        _ = int(np.isfinite(np.asarray(hb.t)).sum())
+        ARTIFACT.update(
+            wavefront_Mrays_s=round(
+                n_bundle / (time.perf_counter() - t0r) / 1e6, 2),
+            note="wavefront done; sharded pinhole pending")
+        del grid3
+    except Exception as e:  # noqa: BLE001
+        ARTIFACT.update(wavefront_error=type(e).__name__)
+    _progress("raycast tail: sharded pinhole")
+
+    # (3) the sharded pinhole path (parallel/raycast.py) over every local
+    # device — on the single bench chip this measures the sharding overhead
+    # directly; on a pod slice it is the scaled number
+    try:
+        from pyqsm_tpu.parallel import make_mesh
+        from pyqsm_tpu.parallel.raycast import sharded_image_cast
+
+        pmesh = make_mesh()
+        h = sharded_image_cast(pmesh, grid_i)
+        jax.block_until_ready(h.t)
+        t0r = time.perf_counter()
+        h = sharded_image_cast(pmesh, grid_i)
+        _ = int(np.isfinite(np.asarray(h.t)).sum())
+        ARTIFACT.update(
+            raycast_sharded_Mrays_s=round(
+                W * H / (time.perf_counter() - t0r) / 1e6, 2),
+            raycast_sharded_devices=int(np.prod(pmesh.devices.shape)),
+            note="raycast tail done; sphere QSM pending")
+    except Exception as e:  # noqa: BLE001
+        ARTIFACT.update(raycast_sharded_error=type(e).__name__)
     _progress("sphere QSM")
 
     # sphere-following QSM on the largest tree (the reference's other QSM
