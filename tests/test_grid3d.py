@@ -196,3 +196,54 @@ def test_chebyshev_dt_matches_scipy():
     ours = _chebyshev_dt(occ)
     ref = distance_transform_cdt(~occ, metric="chessboard")
     np.testing.assert_array_equal(ours, np.asarray(ref))
+
+
+def test_teapot_in_stadium_stays_exact(rng):
+    """Extreme scale-ratio scene (VERDICT r3 missing #4): a finely-tessellated
+    0.5 m object inside a 200 m arena. The uniform grid is sized to the whole
+    scene, so the object's triangles pile into a handful of cells — the
+    percentile cap + residual spill must absorb them with closest hits and
+    crossing counts still EXACT vs the brute oracle (Embree's BVH handles
+    this by subdivision; our design contract is graceful-exact, with the
+    two-level grid as the perf escalation if measurement demands it)."""
+    from pyqsm_tpu.ops.grid3d import grid_cast_wavefront
+
+    teapot = sphere_mesh(jnp.array([3.0, -2.0, 1.0]), 0.25, n_lat=18, n_lon=36)
+    # arena: sparse ground plane + two far walls, 200 m extent
+    g = 200.0
+    verts_a = np.array([
+        [-g, -g, 0], [g, -g, 0], [g, g, 0], [-g, g, 0],     # ground
+        [-g, -g, 0], [-g, -g, 25], [-g, g, 25], [-g, g, 0],  # west wall
+        [g, -g, 0], [g, -g, 25], [g, g, 25], [g, g, 0],      # east wall
+    ], np.float32)
+    tris_a = np.array([[0, 1, 2], [0, 2, 3], [4, 5, 6], [4, 6, 7],
+                       [8, 9, 10], [8, 10, 11]], np.int32)
+    verts = jnp.concatenate([teapot.vertices, jnp.asarray(verts_a)])
+    tris = jnp.concatenate([teapot.triangles,
+                            jnp.asarray(tris_a) + teapot.vertices.shape[0]])
+    grid = build_grid3d(verts, tris)
+    # the object really did overflow into the spill path
+    assert grid.n_residual > 0
+
+    # bundle biased at the object (the hard rays) + wide arena rays
+    o_obj = rng.uniform([1.0, -4.0, 0.0], [5.0, 0.0, 3.0], (600, 3))
+    at = np.array([3.0, -2.0, 1.0]) - o_obj
+    d_obj = at + rng.normal(0, 0.15, at.shape)
+    o_far = rng.uniform(-g, g, (400, 3)).astype(np.float32)
+    o_far[:, 2] = rng.uniform(0, 25, 400)
+    d_far = rng.normal(size=(400, 3))
+    origins = jnp.asarray(np.concatenate([o_obj, o_far]).astype(np.float32))
+    dirs_np = np.concatenate([d_obj, d_far]).astype(np.float32)
+    dirs_np /= np.linalg.norm(dirs_np, axis=1, keepdims=True)
+    dirs = jnp.asarray(dirs_np)
+
+    ref = cast_rays(origins, dirs, verts, tris, backend="xla")
+    hits = grid_cast(grid, origins, dirs, ray_tile=512, count_all=True)
+    _assert_hits_match(hits, ref, verts, tris)
+    np.testing.assert_array_equal(np.asarray(hits.count), np.asarray(ref.count))
+
+    wf = grid_cast_wavefront(grid, origins, dirs, count_all=True)
+    t0 = np.where(np.isfinite(np.asarray(ref.t)), np.asarray(ref.t), -1)
+    t1 = np.where(np.isfinite(np.asarray(wf.t)), np.asarray(wf.t), -1)
+    np.testing.assert_allclose(t1, t0, rtol=1e-4, atol=1e-3)
+    np.testing.assert_array_equal(np.asarray(wf.count), np.asarray(ref.count))
