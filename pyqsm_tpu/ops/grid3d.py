@@ -71,6 +71,19 @@ class Grid3D(NamedTuple):
         return self.tri_of_slot.shape[1]
 
 
+class TwoLevelGrid(NamedTuple):
+    """Two-level acceleration for teapot-in-stadium scenes (Embree handles
+    these by BVH subdivision, ref viz/ray_casting.py:65-71): the top grid's
+    overflow-spilled triangles — which the single-level design brute-tests
+    on EVERY ray — instead get their own fine grid sized to their (compact)
+    hotspot AABB. ``two_level_cast`` merges both closest hits; exactness is
+    preserved because the spill removes a triangle from the top grid
+    entirely, so the two triangle sets are disjoint."""
+
+    primary: Grid3D  # residual stripped (n_residual = 0)
+    sub: Grid3D  # fine grid over ONLY the spilled triangles (global ids)
+
+
 def build_grid3d(
     vertices: Array,
     triangles: Array,
@@ -260,6 +273,77 @@ def build_grid3d(
         cell_rows=cell_rows,
         packed_cells=packed_cells,
     )
+
+
+def build_grid3d_two_level(
+    vertices: Array,
+    triangles: Array,
+    min_residual: int = 256,
+    **build_kw,
+) -> "Grid3D | TwoLevelGrid":
+    """Build a grid, escalating to :class:`TwoLevelGrid` when the overflow
+    spill is large enough that the every-ray residual brute pass would
+    dominate (>= ``min_residual`` spilled triangles). Below the threshold
+    the plain :class:`Grid3D` is returned unchanged — ``two_level_cast``
+    accepts both."""
+    g = build_grid3d(vertices, triangles, **build_kw)
+    if g.n_residual < min_residual:
+        return g
+    res_ids = np.asarray(g.residual)[: g.n_residual]
+    tris = np.asarray(triangles)
+    verts = np.asarray(vertices)
+    # the spill mixes two populations: the dense hotspot (many SMALL
+    # triangles — the sub grid's reason to exist) and any large spanning
+    # triangles that happened to sort past the cap in an overflowing cell.
+    # Large ones would blow the sub grid's extent back up to scene scale,
+    # so they stay on the brute residual pass (they are few by nature).
+    t = np.maximum(tris[res_ids], 0)
+    ext = (np.max([verts[t[:, i]] for i in range(3)], axis=0)
+           - np.min([verts[t[:, i]] for i in range(3)], axis=0)).max(1)
+    med = max(float(np.median(ext)), 1e-9)
+    small = ext <= 8.0 * med
+    sub_ids = res_ids[small]
+    if len(sub_ids) < min_residual:
+        return g
+    brute_ids = res_ids[~small]
+    nr = max(-8 * (-len(brute_ids) // 8), 8)
+    brute = np.full(nr, -1, np.int32)
+    brute[: len(brute_ids)] = brute_ids
+    sub_tris = np.full_like(tris, -1)
+    sub_tris[sub_ids] = tris[sub_ids]
+    # same vertices + masked triangle array: the sub grid's extent shrinks
+    # to the hotspot AABB while hit ids stay GLOBAL (no remapping)
+    sub = build_grid3d(vertices, jnp.asarray(sub_tris), **build_kw)
+    primary = g._replace(
+        residual=jnp.asarray(brute), n_residual=int(len(brute_ids)))
+    return TwoLevelGrid(primary=primary, sub=sub)
+
+
+def merge_hits(a, b):
+    """Closest-hit merge of two casts over DISJOINT triangle sets: winner by
+    smaller t; crossing counts add (exact under ``count_all=True``)."""
+    from pyqsm_tpu.ops.raytrace import Hits
+
+    b_wins = b.t < a.t
+    return Hits(
+        t=jnp.minimum(a.t, b.t),
+        tri=jnp.where(b_wins, b.tri, a.tri),
+        uv=jnp.where(b_wins[:, None], b.uv, a.uv),
+        count=a.count + b.count,
+    )
+
+
+def two_level_cast(grid, origins: Array, dirs: Array, wavefront: bool = False,
+                   **cast_kw):
+    """Cast against a :class:`Grid3D` or :class:`TwoLevelGrid` uniformly
+    (``grid_cast`` semantics; ``wavefront=True`` routes both levels through
+    ``grid_cast_wavefront``)."""
+    caster = grid_cast_wavefront if wavefront else grid_cast
+    if isinstance(grid, Grid3D):
+        return caster(grid, origins, dirs, **cast_kw)
+    a = caster(grid.primary, origins, dirs, **cast_kw)
+    b = caster(grid.sub, origins, dirs, **cast_kw)
+    return merge_hits(a, b)
 
 
 def _chebyshev_dt(occ3: np.ndarray, max_dist: int = 255) -> np.ndarray:

@@ -81,7 +81,8 @@ def clear_grid_cache() -> None:
 
 
 def _grid_nbytes(g) -> int:
-    return sum(int(getattr(a, "nbytes", 0)) for a in g)
+    return sum(_grid_nbytes(a) if isinstance(a, tuple)
+               else int(getattr(a, "nbytes", 0)) for a in g)
 
 
 def _cached_grid3d(vertices: Array, triangles: Array):
@@ -95,7 +96,7 @@ def _cached_grid3d(vertices: Array, triangles: Array):
     frees everything."""
     import weakref
 
-    from pyqsm_tpu.ops.grid3d import build_grid3d
+    from pyqsm_tpu.ops.grid3d import build_grid3d_two_level
 
     live = []
     hit = None
@@ -109,7 +110,7 @@ def _cached_grid3d(vertices: Array, triangles: Array):
     _GRID_CACHE[:] = live
     if hit is not None:
         return hit
-    g = build_grid3d(vertices, triangles)
+    g = build_grid3d_two_level(vertices, triangles)
     try:
         _GRID_CACHE.append((weakref.ref(vertices), weakref.ref(triangles), g))
         del _GRID_CACHE[:-_GRID_CACHE_MAX]
@@ -148,11 +149,12 @@ def cast_rays(
         else:
             backend = "pallas" if jax.default_backend() == "tpu" else "xla"
     if backend == "grid":
-        from pyqsm_tpu.ops.grid3d import grid_cast
+        from pyqsm_tpu.ops.grid3d import two_level_cast
 
         if grid is None:
             grid = _cached_grid3d(vertices, triangles)
-        return grid_cast(grid, origins, dirs, count_all=True)
+        # accepts Grid3D and TwoLevelGrid (teapot-in-stadium escalation)
+        return two_level_cast(grid, origins, dirs, count_all=True)
     if backend == "pallas":
         from pyqsm_tpu.ops.pallas_kernels import mt_raycast
 
