@@ -138,3 +138,23 @@ def test_cli_raycast(tmp_path, rng, capsys):
     assert m["n_triangles"] > 100
     assert m["sun_sweep"]["90.0"]["surface_area_2d"] > 0.5
     assert m["camera"]["hit_fraction"] > 0.01
+
+
+def test_console_scripts_resolve_and_run_help():
+    """Packaging smoke (VERDICT r3 #8): every [project.scripts] entry point
+    must resolve through installed metadata and answer --help — the
+    reference's console scripts pointed at functions that didn't exist
+    (ref pyproject.toml:73-76)."""
+    from importlib.metadata import entry_points
+
+    eps = {e.name: e for e in entry_points(group="console_scripts")
+           if e.name.startswith("pyqsm-")}
+    assert set(eps) >= {"pyqsm-tree-isolation", "pyqsm-qsm-generation",
+                        "pyqsm-canopy-metrics", "pyqsm-raycast", "pyqsm-viz"}
+    for name, ep in sorted(eps.items()):
+        fn = ep.load()
+        try:
+            rc = fn(["--help"])
+        except SystemExit as e:  # argparse --help exits 0
+            rc = e.code
+        assert not rc, name
