@@ -58,6 +58,12 @@ def _progress(msg: str) -> None:
     print(f"# {msg}", file=sys.stderr, flush=True)
 
 
+class _HeadlineUnavailable(Exception):
+    """Raised by a dependent bench section when the section it builds on
+    failed — recorded as the section's *_error so the artifact shows the
+    skip (not a misleading NameError on an unbound intermediate)."""
+
+
 class _Artifact:
     """Best-available bench result; every update re-emits one full JSON line
     to stdout (the driver parses the LAST parsable line)."""
@@ -122,16 +128,20 @@ def _await_backend(window_s: float, probe_timeout_s: float = 120.0) -> str | Non
     attempt = 0
     while True:
         attempt += 1
+        # a hung probe must not overshoot the caller's window: each probe is
+        # bounded by the remaining window (min one real attempt of 30 s)
+        this_timeout = min(probe_timeout_s,
+                           max(deadline - time.monotonic(), 30.0))
         try:
             out = subprocess.run(
-                [sys.executable, "-c", probe], env=env, timeout=probe_timeout_s,
+                [sys.executable, "-c", probe], env=env, timeout=this_timeout,
                 capture_output=True, text=True)
             if out.returncode == 0 and out.stdout.strip():
                 return out.stdout.strip().splitlines()[-1]
             err = (out.stderr or "").strip().splitlines()
             reason = err[-1][:200] if err else f"rc={out.returncode}"
         except subprocess.TimeoutExpired:
-            reason = f"probe hang >{probe_timeout_s:.0f}s"
+            reason = f"probe hang >{this_timeout:.0f}s"
         remaining = deadline - time.monotonic()
         _progress(f"backend probe {attempt} failed ({reason}); "
                   f"{remaining:.0f}s of retry window left")
@@ -279,6 +289,8 @@ def _bench_body(args) -> None:
 
     # secondary headline: ray throughput against a device-reconstructed
     # canopy mesh (>=100k triangles — the north-star raycast workload)
+    scene = raw_scene = grid_i = None  # tail sections skip on headline failure
+    W, H = 1280, 950
     try:
         from pyqsm_tpu.ops.raygrid import (
             build_image_grid, build_ray_grid, cell_cast_parallel, image_cast,
@@ -286,15 +298,15 @@ def _bench_body(args) -> None:
         from pyqsm_tpu.ops.voxelmesh import poisson_like_mesh, simplify_mesh
 
         canopy_mask = mask & (pts[:, 2] > 6.0)
-        scene = poisson_like_mesh(pts, canopy_mask, voxel=0.12, blur_iters=1)
-        n_tri_raw = int(scene.n_triangles())
-        scene = simplify_mesh(scene, target_triangles=args.raycast_triangles)
+        raw_scene = poisson_like_mesh(pts, canopy_mask, voxel=0.12,
+                                      blur_iters=1)
+        n_tri_raw = int(raw_scene.n_triangles())
+        scene = simplify_mesh(raw_scene, target_triangles=args.raycast_triangles)
         n_tri = int(scene.n_triangles())
 
         v = np.asarray(scene.vertices)
         center = jnp.asarray(v.mean(0))
         eye = center + jnp.asarray([0.0, -30.0, 18.0])
-        W, H = 1280, 950
         grid_i = build_image_grid(scene.vertices, scene.triangles, eye,
                                   center, jnp.asarray([0.0, 0, 1.0]),
                                   60.0, W, H)
@@ -326,11 +338,11 @@ def _bench_body(args) -> None:
     _progress("raycast tail: undecimated pinhole")
 
     # raycast tail (VERDICT r3 #3): the three previously-unmeasured paths.
-    # (1) pinhole on the UNdecimated marching-tet scene — the honest
-    # no-quality-tradeoff number next to the decimated headline
+    # (1) pinhole on the UNdecimated marching-tet scene (kept from the
+    # headline section pre-simplify) — the honest no-quality-tradeoff number
     try:
-        raw_scene = poisson_like_mesh(pts, canopy_mask, voxel=0.12,
-                                      blur_iters=1)
+        if raw_scene is None or grid_i is None:
+            raise _HeadlineUnavailable
         grid_raw = build_image_grid(raw_scene.vertices, raw_scene.triangles,
                                     eye, center, jnp.asarray([0.0, 0, 1.0]),
                                     60.0, W, H)
@@ -352,6 +364,8 @@ def _bench_body(args) -> None:
     # cast_rays capability for unstructured rays, ref ray_casting.py:151-192;
     # STATUS gap 4 target >=5 Mrays/s)
     try:
+        if scene is None:
+            raise _HeadlineUnavailable
         from pyqsm_tpu.ops.grid3d import build_grid3d, grid_cast_wavefront
 
         rngr = np.random.default_rng(0)
@@ -385,6 +399,8 @@ def _bench_body(args) -> None:
     # device — on the single bench chip this measures the sharding overhead
     # directly; on a pod slice it is the scaled number
     try:
+        if grid_i is None:
+            raise _HeadlineUnavailable
         from pyqsm_tpu.parallel import make_mesh
         from pyqsm_tpu.parallel.raycast import sharded_image_cast
 

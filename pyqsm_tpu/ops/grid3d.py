@@ -81,7 +81,10 @@ class TwoLevelGrid(NamedTuple):
     entirely, so the two triangle sets are disjoint."""
 
     primary: Grid3D  # residual stripped (n_residual = 0)
-    sub: Grid3D  # fine grid over ONLY the spilled triangles (global ids)
+    sub: Grid3D  # fine grid over ONLY the spilled triangles (COMPACT ids)
+    sub_tri_ids: Array  # [S_pad] i32 compact→global triangle id map, -1 pad
+    #   (the sub grid stores just the hotspot subset — carrying the full
+    #   scene-sized v0/e1/e2/packed arrays doubled triangle HBM per mesh)
 
 
 def build_grid3d(
@@ -309,14 +312,19 @@ def build_grid3d_two_level(
     nr = max(-8 * (-len(brute_ids) // 8), 8)
     brute = np.full(nr, -1, np.int32)
     brute[: len(brute_ids)] = brute_ids
-    sub_tris = np.full_like(tris, -1)
-    sub_tris[sub_ids] = tris[sub_ids]
-    # same vertices + masked triangle array: the sub grid's extent shrinks
-    # to the hotspot AABB while hit ids stay GLOBAL (no remapping)
+    # COMPACT triangle set: the sub grid stores only the spilled subset
+    # (full-size masked arrays doubled per-mesh triangle HBM); hits come
+    # back with compact ids and two_level_cast remaps them to global
+    ns = max(-8 * (-len(sub_ids) // 8), 8)
+    sub_tris = np.full((ns, 3), -1, tris.dtype)
+    sub_tris[: len(sub_ids)] = tris[sub_ids]
+    id_map = np.full(ns, -1, np.int32)
+    id_map[: len(sub_ids)] = sub_ids
     sub = build_grid3d(vertices, jnp.asarray(sub_tris), **build_kw)
     primary = g._replace(
         residual=jnp.asarray(brute), n_residual=int(len(brute_ids)))
-    return TwoLevelGrid(primary=primary, sub=sub)
+    return TwoLevelGrid(primary=primary, sub=sub,
+                        sub_tri_ids=jnp.asarray(id_map))
 
 
 def merge_hits(a, b):
@@ -343,17 +351,23 @@ def two_level_cast(grid, origins: Array, dirs: Array, wavefront: bool = False,
         return caster(grid, origins, dirs, **cast_kw)
     a = caster(grid.primary, origins, dirs, **cast_kw)
     b = caster(grid.sub, origins, dirs, **cast_kw)
+    # sub hits carry compact ids — map back to global before the merge
+    b = b._replace(tri=jnp.where(
+        b.tri >= 0, grid.sub_tri_ids[jnp.maximum(b.tri, 0)], b.tri))
     return merge_hits(a, b)
 
 
-def _chebyshev_dt(occ3: np.ndarray, max_dist: int = 255) -> np.ndarray:
+def _chebyshev_dt(occ3: np.ndarray, max_dist: int = 64) -> np.ndarray:
     """Chebyshev (chessboard) distance-to-nearest-occupied, pure numpy.
 
     Fallback when scipy (the ``[host]`` extra) is absent. Iterative binary
     dilation with a separable 3×3×3 chessboard element: after ``i`` rounds
     the dilated set is exactly {cells with Chebyshev distance ≤ i}. Stops at
-    ``max_dist`` — the caller's skip map saturates at 255 anyway, and a
-    255-cell empty-space jump is already the whole grid in practice."""
+    ``max_dist`` and SATURATES the remaining cells there — an underestimated
+    skip distance is conservative-correct (the DDA just takes more jumps),
+    and a 64-cell jump already crosses a quarter of the largest grid; the
+    unbounded loop cost O(max_true_dist · ncells) on sparse scenes (cells
+    occupied only in one corner) was minutes of host time at 256³."""
     dist = np.zeros(occ3.shape, np.int64)
     reached = occ3.copy()
     for i in range(1, max_dist + 1):

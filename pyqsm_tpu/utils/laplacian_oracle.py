@@ -175,7 +175,9 @@ def contract_exact(
         A = L.T @ WL2 @ L + diags(wh * wh)
         b = (wh * wh)[:, None] * pts
         new = np.column_stack([spsolve(A.tocsc(), b[:, c]) for c in range(3)])
-        if np.isnan(new).all():
+        # any NaN row poisons the next builder's cKDTree — stop at the last
+        # good contraction (degenerate one-rings can blow up the cotans)
+        if np.isnan(new).any():
             break
         pts = new
         L, m = builder(pts)
