@@ -121,3 +121,29 @@ def test_classifier_separates_line_vs_ball(rng):
     acc = (np.asarray(preds) == truth).mean()
     assert acc > 0.95
     assert metrics["val_acc"] > 0.9
+
+
+def test_predict_proba_consistent_with_predict(rng):
+    """predict_proba: softmax class probabilities whose argmax equals
+    predict() and whose rows sum to 1 (the RF predict_proba analog,
+    ref exploration.py:460-538)."""
+    from pyqsm_tpu.models.segmentation import predict_proba
+
+    n = 400
+    line = np.stack([np.linspace(0, 5, n), np.zeros(n), np.zeros(n)], 1)
+    line += rng.normal(0, 0.002, line.shape)
+    ball = rng.normal(0, 0.3, (n, 3)) + [10, 0, 0]
+    pts = np.concatenate([line, ball]).astype(np.float32)
+    truth = np.concatenate([np.zeros(n), np.ones(n)]).astype(np.int32)
+    rows = np.arange(0, 2 * n, 4).astype(np.int32)
+    preds, clf, _ = classify_wood_leaf(
+        jnp.asarray(pts), jnp.ones(2 * n, bool),
+        jnp.asarray(rows), jnp.asarray(truth[rows]), epochs=150,
+    )
+    feats = stack_features(
+        __import__("pyqsm_tpu.ops.features", fromlist=["compute_features"])
+        .compute_features(jnp.asarray(pts), jnp.ones(2 * n, bool), k=25))
+    proba = np.asarray(predict_proba(clf, feats))
+    assert proba.shape == (2 * n, 2)
+    np.testing.assert_allclose(proba.sum(1), 1.0, atol=1e-5)
+    assert (proba.argmax(1) == np.asarray(predict(clf, feats))).all()

@@ -128,3 +128,39 @@ def test_grid_self_radius_any_k_respects_mask(cloud):
     i = np.asarray(i)
     assert i.max() < 400
     assert (i[400:] == -1).all()
+
+
+def test_grid_radius_any_k_cross_cloud_vs_ckdtree(cloud, rng):
+    """grid_radius_any_k: up-to-k UNSORTED in-radius neighbors for external
+    query points against a built grid index (the cross-cloud radius-graph
+    primitive, ref lib_integration.py:81-137 ball search)."""
+    from pyqsm_tpu.ops.neighbors import build_grid, grid_radius_any_k
+
+    r = 0.3
+    queries = rng.uniform(0, 5, size=(400, 3)).astype(np.float32)
+    index = build_grid(jnp.asarray(cloud), cell_size=r)
+    d, i = grid_radius_any_k(index, jnp.asarray(queries), radius=r, k=64)
+    i, d = np.asarray(i), np.asarray(d)
+    tree = cKDTree(cloud)
+    want_all = tree.query_ball_point(queries, r)
+    for row in range(0, 400, 17):
+        got = set(i[row][i[row] >= 0])
+        want = set(want_all[row])
+        # k=64 cap: if the row saturated, got must be a subset; else equal
+        if (i[row] >= 0).sum() < 64:
+            assert got == want, f"row {row}: {got ^ want}"
+        else:
+            assert got <= want
+    live = i >= 0
+    d_check = np.linalg.norm(
+        cloud[np.maximum(i, 0)] - queries[:, None, :], axis=-1)
+    np.testing.assert_allclose(d[live], d_check[live], rtol=2e-3, atol=1e-4)
+    assert (d[live] <= r + 1e-5).all()
+
+
+def test_grid_radius_any_k_radius_gate(cloud):
+    from pyqsm_tpu.ops.neighbors import build_grid, grid_radius_any_k
+
+    index = build_grid(jnp.asarray(cloud), cell_size=0.2)
+    with pytest.raises(ValueError):
+        grid_radius_any_k(index, jnp.asarray(cloud[:8]), radius=0.5, k=8)
