@@ -63,10 +63,22 @@ def process_plot(
     timings: dict = {}
     t0 = time.perf_counter()
     growth = build_trees(points, mask, iso_cfg, mesh=mesh)
-    lab = np.asarray(growth.labels)  # forced transfer = honest stage timing
+    # honest stage timing without the 40 MB label download: a 4-byte scalar
+    # forces the device queue to drain over the tunnel (block_until_ready
+    # returns early on axon)
+    from pyqsm_tpu.ops.sampling import label_segments, rows_for_labels
+
+    seg_order, seg_slab, seg_vals, seg_counts, seg_n = label_segments(
+        growth.labels, u_cap=4096)
+    n_uniq = int(seg_n)
     timings["isolation_s"] = round(time.perf_counter() - t0, 2)
     t0 = time.perf_counter()
-    uniq, counts = np.unique(lab[lab >= 0], return_counts=True)
+    if n_uniq > 4096:  # more trees than the device buffer — host fallback
+        lab = np.asarray(growth.labels)
+        uniq, counts = np.unique(lab[lab >= 0], return_counts=True)
+    else:
+        uniq = np.asarray(seg_vals[:n_uniq])
+        counts = np.asarray(seg_counts[:n_uniq])
     order = np.argsort(-counts)
     uniq, counts = uniq[order], counts[order]
     if max_trees is not None:
@@ -84,13 +96,13 @@ def process_plot(
         return PlotResult(growth, [], timings)
     t_n = len(kept_ids)
     cap_t = -2048 * (-max(kept_counts) // 2048)
-    idx_np = np.full((t_n, cap_t), -1, np.int32)
-    for i, tree_id in enumerate(kept_ids):
-        rows = np.flatnonzero(lab == tree_id)
-        idx_np[i, : len(rows)] = rows
-    idx = jnp.asarray(np.maximum(idx_np, 0))
-    tree_m = jnp.asarray(idx_np >= 0)
-    tree_p = jnp.where(tree_m[..., None], points[idx], 0.0)
+    # per-tree row gather on device (reuses label_segments' sort): the host
+    # path materialized and uploaded a [T, cap_t] index array — ~100 MB at
+    # plot scale, paid at tunnel upload rates
+    idx_raw = rows_for_labels(seg_order, seg_slab,
+                              jnp.asarray(kept_ids, jnp.int32), cap_t)
+    tree_m = idx_raw >= 0
+    tree_p = jnp.where(tree_m[..., None], points[jnp.maximum(idx_raw, 0)], 0.0)
 
     # rung policy: finest rung with occupied-voxel count <= cap (monotone in
     # rung → per-tree binary search, all trees probed per iteration), bounded

@@ -145,6 +145,45 @@ def compact_rows_batch(points: Array, masks: Array) -> tuple[Array, Array]:
     return jnp.where(msk[..., None], pts, 0.0), msk
 
 
+@partial(jax.jit, static_argnames=("u_cap",))
+def label_segments(labels: Array, u_cap: int) -> tuple:
+    """Device-side ``np.unique(labels[labels >= 0], return_counts=True)``.
+
+    Returns ``(order, slab, vals, counts, n_unique)`` where ``order`` is the
+    stable sort permutation, ``slab = labels[order]``, and ``vals``/``counts``
+    are the ascending unique non-negative labels (-1 / 0 padded to
+    ``u_cap``). Downloading ``vals``/``counts`` costs KBs where the full
+    label array is 40 MB at 10M points — over the TPU tunnel that transfer
+    (plus the matching index re-upload) was most of the plot pipeline's
+    ladder-prep wall. ``order``/``slab`` stay on device for
+    :func:`rows_for_labels` to reuse."""
+    order = jnp.argsort(labels, stable=True).astype(jnp.int32)
+    slab = labels[order]
+    first = jnp.concatenate([jnp.ones(1, bool), slab[1:] != slab[:-1]])
+    first = first & (slab >= 0)
+    starts = nonzero_rows(first, u_cap)
+    vals = jnp.where(starts >= 0, slab[jnp.maximum(starts, 0)], -1)
+    ends = jnp.searchsorted(slab, vals, side="right").astype(jnp.int32)
+    begins = jnp.searchsorted(slab, vals, side="left").astype(jnp.int32)
+    counts = jnp.where(starts >= 0, ends - begins, 0)
+    return order, slab, vals, counts, jnp.sum(first.astype(jnp.int32))
+
+
+@partial(jax.jit, static_argnames=("cap",))
+def rows_for_labels(order: Array, slab: Array, kept: Array, cap: int) -> Array:
+    """Row indices of each kept label as a ``[T, cap]`` buffer (-1 padded),
+    rows ascending within each tree (stable sort order). Built entirely on
+    device from :func:`label_segments`'s sort — replaces a host
+    ``np.flatnonzero`` loop plus a [T, cap] index upload."""
+    n = order.shape[0]
+    starts = jnp.searchsorted(slab, kept, side="left").astype(jnp.int32)
+    counts = jnp.searchsorted(slab, kept, side="right").astype(jnp.int32) - starts
+    j = jnp.arange(cap, dtype=jnp.int32)
+    pos = jnp.clip(starts[:, None] + j[None, :], 0, n - 1)
+    ok = j[None, :] < counts[:, None]
+    return jnp.where(ok, order[pos], -1)
+
+
 @partial(jax.jit, static_argnames=("cap",))
 def nonzero_rows(mask: Array, cap: int) -> Array:
     """Device-side compaction index: the live row indices front-packed into

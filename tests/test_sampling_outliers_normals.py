@@ -153,3 +153,28 @@ def test_compact_rows_band_alignment(rng):
     r = np.asarray(rows)[:n_live]
     np.testing.assert_array_equal(np.asarray(out)[:n_live], pts[r])
     assert (np.asarray(rows)[n_live:] == -1).all()
+
+
+def test_label_segments_matches_numpy_unique(rng):
+    """Device-side unique+counts+row-gather (the plot pipeline's ladder prep,
+    which replaced a 40 MB label download + ~100 MB index upload) must match
+    np.unique / np.flatnonzero exactly."""
+    from pyqsm_tpu.ops.sampling import label_segments, rows_for_labels
+
+    labels = rng.integers(-1, 12, size=3001).astype(np.int32)
+    labels[rng.uniform(size=3001) < 0.3] = -1
+    order, slab, vals, counts, n_uniq = label_segments(
+        jnp.asarray(labels), u_cap=64)
+    uniq_np, counts_np = np.unique(labels[labels >= 0], return_counts=True)
+    assert int(n_uniq) == len(uniq_np)
+    np.testing.assert_array_equal(np.asarray(vals)[: len(uniq_np)], uniq_np)
+    np.testing.assert_array_equal(np.asarray(counts)[: len(uniq_np)], counts_np)
+    assert (np.asarray(vals)[len(uniq_np):] == -1).all()
+
+    kept = uniq_np[counts_np >= 100]
+    cap = int(counts_np.max()) + 7
+    idx = np.asarray(rows_for_labels(order, slab, jnp.asarray(kept), cap))
+    for i, t in enumerate(kept):
+        rows = np.flatnonzero(labels == t)
+        np.testing.assert_array_equal(idx[i, : len(rows)], rows)
+        assert (idx[i, len(rows):] == -1).all()
