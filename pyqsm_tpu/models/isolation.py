@@ -399,15 +399,25 @@ def build_trees(
     )
     # compact seed ids to [0, C): ascending remap preserves the min-id
     # tie-break, and the per-cycle retirement segment-sum shrinks from N
-    # segments to ~#trees (pow2 cap bounds recompiles)
-    lab_host = np.asarray(seed_labels)
-    uniq_ids = np.unique(lab_host[lab_host >= 0])
+    # segments to ~#trees (pow2 cap bounds recompiles). Runs on device —
+    # the host path downloaded the full rep-scale label array (~16 MB at
+    # 10M points) over the tunnel just to count unique ids.
+    from pyqsm_tpu.ops.sampling import label_segments
+
+    _, _, seg_vals, _, seg_n = label_segments(seed_labels, u_cap=4096)
+    n_seed = int(seg_n)
+    if n_seed > 4096:  # more seed clusters than the device table — host path
+        lab_host = np.asarray(seed_labels)
+        uniq_np = np.unique(lab_host[lab_host >= 0])
+        n_seed = len(uniq_np)
+        seg_vals = jnp.asarray(
+            np.concatenate([uniq_np, np.full(1, -1, np.int32)]))
     ccap = 16
-    while ccap < max(len(uniq_ids), 1):
+    while ccap < max(n_seed, 1):
         ccap *= 2
-    compact = np.where(
-        lab_host >= 0, np.searchsorted(uniq_ids, lab_host), -1
-    ).astype(np.int32)
+    vals_n = seg_vals[: max(n_seed, 1)]
+    pos = jnp.searchsorted(vals_n, seed_labels).astype(jnp.int32)
+    compact = jnp.where(seed_labels >= 0, pos, -1)
     if mesh is not None:
         from pyqsm_tpu.parallel.growth import region_grow_sharded
 
@@ -451,11 +461,10 @@ def build_trees(
             cluster_cap=ccap,
         )
     # map compact ids back to the original DBSCAN ids
-    lut = jnp.asarray(np.concatenate([uniq_ids.astype(np.int32),
-                                      np.full(1, -1, np.int32)]))
+    lut = jnp.concatenate([vals_n, jnp.full(1, -1, jnp.int32)])
     res = res._replace(labels=jnp.where(
         res.labels >= 0,
-        lut[jnp.clip(res.labels, 0, len(uniq_ids))], -1,
+        lut[jnp.clip(res.labels, 0, n_seed)], -1,
     ))
     # expand representative labels/orders to the full cloud: original-row ->
     # rep row (trace) -> compact row (inverse of rep_rows)
