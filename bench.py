@@ -173,10 +173,13 @@ def _bench_body(args) -> None:
     import jax
 
     # persistent compilation cache: axon compiles cost minutes; the cache
-    # lives in-repo so later bench runs (and rounds) skip them
+    # lives in-repo so later bench runs (and rounds) skip them. Threshold 0:
+    # one pipeline run compiles ~335 programs and most are sub-second eager
+    # ops that a 1 s threshold would re-pay (as tunnel round trips) on
+    # every single run
     jax.config.update("jax_compilation_cache_dir",
                       str(__import__("pathlib").Path(__file__).parent / ".jax_cache"))
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
 
     # backend guard: the axon plugin ignores JAX_PLATFORMS=cpu env, so an
     # intended CPU smoke run silently lands on the chip (single-client lock,

@@ -637,12 +637,21 @@ def extract_topology(
         _, rep_mask, _ = voxel_downsample(contracted, dedupe_voxel, mask)
         sample_mask = mask & rep_mask
     n_live = int(jnp.sum(sample_mask))
-    s = max(int(n_live * fps_fraction), min_fps)
-    s = min(s, max(n_live, 1))
+    s_real = max(int(n_live * fps_fraction), min_fps)
+    s_real = min(s_real, max(n_live, 1))
+    # pow2-bucketed compute width: the exact data-dependent sample count
+    # compiled every topology kernel (FPS, vertex kNN, Borůvka, degree-2
+    # simplify, skeleton_to_qsm) once PER TREE — 7 compiled variants each in
+    # a single 8-tree plot run, at axon's minutes-per-compile. FPS is a
+    # prefix-stable scan, so the first ``s_real`` picks of a padded run are
+    # bit-identical; the pad tail is masked out of every downstream op.
+    s = 16
+    while s < s_real:
+        s *= 2
 
     fps_idx = farthest_point_sampling(contracted, s, sample_mask)
     verts = contracted[fps_idx]
-    vmask = jnp.ones(s, dtype=bool)
+    vmask = jnp.arange(s) < s_real
 
     d, idx = knn(verts, verts, min(graph_k_n + 1, s), query_mask=vmask, point_mask=vmask)
     d, idx = d[:, 1:], idx[:, 1:]

@@ -22,7 +22,7 @@ def enable_compilation_cache() -> None:
 
     cache = Path(__file__).resolve().parents[2] / ".jax_cache"
     jax.config.update("jax_compilation_cache_dir", str(cache))
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
 
 
 def _load(path: str, voxel: float | None):
