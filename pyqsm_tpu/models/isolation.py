@@ -90,6 +90,12 @@ def region_grow(
         and n >= 32768
         and _band_claim_bytes(n, int(cluster_cap)) <= _band_bytes_budget()
     )
+    # PYQSM_CLAIM: "gather" forces the gather kernel (the A/B knob for
+    # profiling the two bit-identical claim paths on real hardware).
+    import os
+
+    if os.environ.get("PYQSM_CLAIM") == "gather":
+        use_band = False
     if use_band:
         b_adj, s_i, s_j, s_w, over = _claim_band(nbr_idx, mask)
         if not bool(over):

@@ -911,20 +911,17 @@ def _enumerate_visits(
             more_t.reshape(-1)[:r], c_t.reshape(-1, 3)[:r])
 
 
-@partial(jax.jit, static_argnames=("block", "nb_cap", "batch",
-                                   "packed_cells"))
-def _cell_major_test(
-    origins: Array, dirs: Array, visit_cids: Array,
-    tri_of_slot: Array, packed: Array,
-    lo: Array, cell_size: Array, dims: Array,
-    block: int, nb_cap: int, batch: int = 32,
-    cell_rank: Array | None = None, cell_rows: Array | None = None,
-    packed_cells: bool = False,
-) -> tuple[Array, Array, Array, Array, Array]:
-    """Test every (ray, visited cell) pair, CELL-MAJOR. Returns per-ray
-    (t, tri, u, v, count) best-of-round. The sort puts each cell's rays in
-    a contiguous run; blocks of ``block`` pairs never span two cells, so one
-    [cap, 16] triangle fetch serves a dense [block, cap] MT batch."""
+@partial(jax.jit, static_argnames=("block",))
+def _sort_pairs(
+    visit_cids: Array, block: int,
+) -> tuple[Array, Array, Array, Array, Array, Array, Array]:
+    """Sort (ray, visited-cell) pairs cell-major and assign dense blocks of
+    ``block`` pairs that never span two cells. Returns (skeys, srays,
+    blk_id, pos_in_blk, live_pair, inv_order, n_blk) where ``n_blk`` is the
+    EXACT number of live blocks — the MT dispatch is sized to it per round.
+    (The former single-kernel design dispatched a worst-case block capacity
+    every round: ~0.03 Mrays/s measured on the 1M-ray bench bundle, >20x
+    dead work.)"""
     r, v = visit_cids.shape
     p = r * v
     big = jnp.int32(np.iinfo(np.int32).max)
@@ -945,12 +942,40 @@ def _cell_major_test(
     pos_in_blk = idx - blk_start
 
     live_pair = skeys < big
+    n_blk = jnp.max(jnp.where(live_pair, blk_id, -1)) + 1
+    # inverse permutation by scatter (a second argsort costs another full
+    # [p] sort; the scatter is one pass)
+    inv_order = jnp.zeros(p, jnp.int32).at[order].set(idx)
+    return skeys, srays, blk_id, pos_in_blk, live_pair, inv_order, n_blk
+
+
+@partial(jax.jit, static_argnames=("block", "nb_cap", "batch",
+                                   "packed_cells"))
+def _mt_blocks(
+    origins: Array, dirs: Array,
+    skeys: Array, srays: Array, blk_id: Array, pos_in_blk: Array,
+    live_pair: Array, inv_order: Array,
+    tri_of_slot: Array, packed: Array,
+    lo: Array, cell_size: Array, dims: Array,
+    block: int, nb_cap: int, batch: int = 32,
+    cell_rank: Array | None = None, cell_rows: Array | None = None,
+    packed_cells: bool = False,
+) -> tuple[Array, Array, Array, Array, Array]:
+    """Möller–Trumbore over the live blocks from :func:`_sort_pairs`.
+    Returns per-ray (t, tri, u, v, count) best-of-round. One [cap, 16]
+    triangle fetch serves a dense [block, cap] MT batch per block."""
+    r = origins.shape[0]
+    p = skeys.shape[0]
+    v = p // r
     blk_safe = jnp.where(live_pair, jnp.minimum(blk_id, nb_cap - 1), nb_cap)
     block_cell = jnp.full(nb_cap + 1, -1, jnp.int32).at[blk_safe].max(
         jnp.where(live_pair, skeys, -1), mode="drop")[:nb_cap]
-    pair_ray = jnp.full((nb_cap + 1, block), -1, jnp.int32).at[
-        blk_safe, pos_in_blk
-    ].set(jnp.where(live_pair, srays, -1), mode="drop")[:nb_cap]
+    # flattened destination: a 2-component scatter stacks indices into
+    # s32[p, 2] and the TPU layout pads 2 -> 128 (a 4 GB copy at 8M pairs)
+    pair_ray = jnp.full(nb_cap * block + 1, -1, jnp.int32).at[
+        jnp.minimum(blk_safe * block + pos_in_blk, nb_cap * block)
+    ].set(jnp.where(live_pair, srays, -1), mode="drop")[
+        :nb_cap * block].reshape(nb_cap, block)
 
     nbt = nb_cap // batch
 
@@ -1011,7 +1036,7 @@ def _cell_major_test(
         return tmin, tri_best, ub, vb, cnt
 
     t_b, tri_b, u_b, v_b, c_b = jax.lax.map(
-        tile, jnp.arange(nbt), batch_size=min(8, nbt))
+        tile, jnp.arange(nbt), batch_size=min(16, nbt))
 
     # pair results back to (ray, visit) layout: sorted pair i lives at
     # (blk_id[i], pos_in_blk[i]); clip covers the nb_cap overflow guard
@@ -1025,7 +1050,6 @@ def _cell_major_test(
     t_sorted = jnp.where(live_pair & ~overflow, t_sorted, jnp.inf)
     c_sorted = jnp.where(live_pair & ~overflow, c_sorted, 0)
 
-    inv_order = jnp.argsort(order)
     t_pair = t_sorted[inv_order].reshape(r, v)
     tri_pair = tri_sorted[inv_order].reshape(r, v)
     u_pair = u_sorted[inv_order].reshape(r, v)
@@ -1040,6 +1064,38 @@ def _cell_major_test(
             jnp.sum(c_pair, 1))
 
 
+@partial(jax.jit, static_argnames=("count_all",))
+def _merge_round(
+    best_t: Array, best_tri: Array, best_u: Array, best_v: Array,
+    count: Array, ridx: Array, alive: Array, more: Array,
+    t: Array, tri: Array, u: Array, v: Array, cnt: Array, t_cov: Array,
+    count_all: bool,
+) -> tuple[Array, Array, Array, Array, Array, Array]:
+    """Fold one round's per-(compacted)-ray results into the full-bundle
+    best arrays and compute the surviving frontier. ``ridx`` maps compacted
+    rows to original ray ids; rows with ``alive`` false (incl. compaction
+    padding, whose ridx duplicates row 0) are dropped from every write."""
+    n = best_t.shape[0]
+    bt = best_t[ridx]
+    t_eff = jnp.where(alive, t, jnp.inf)
+    better = t_eff < bt
+    wr = jnp.where(alive, ridx, n)
+    wr_b = jnp.where(better, wr, n)
+    best_t = best_t.at[wr].min(t_eff, mode="drop")
+    best_tri = best_tri.at[wr_b].set(tri, mode="drop")
+    best_u = best_u.at[wr_b].set(u, mode="drop")
+    best_v = best_v.at[wr_b].set(v, mode="drop")
+    count = count.at[wr].add(jnp.where(alive, cnt, 0), mode="drop")
+    bt_after = jnp.minimum(bt, t_eff)
+    # retire: closest hit confirmed inside the covered interval (unless
+    # counting all crossings), or grid exhausted
+    if count_all:
+        alive_new = alive & more
+    else:
+        alive_new = alive & more & jnp.logical_not(bt_after <= t_cov + 1e-6)
+    return best_t, best_tri, best_u, best_v, count, alive_new
+
+
 def grid_cast_wavefront(
     grid: Grid3D,
     origins: Array,
@@ -1049,6 +1105,7 @@ def grid_cast_wavefront(
     count_all: bool = False,
     ray_tile: int = 65536,
     max_rounds: int | None = None,
+    debug: bool = False,
 ) -> Hits:
     """High-throughput exact casting for ARBITRARY ray bundles (the
     unstructured path of Embree's ``cast_rays``/``list_intersections``, ref
@@ -1057,8 +1114,13 @@ def grid_cast_wavefront(
     header). Semantics identical to ``grid_cast``; oracle-tested against it.
 
     ``visits``: occupied cells covered per round; rays needing more resume
-    in later rounds (each round reuses the same two compiled kernels).
+    in later rounds. Per round the MT dispatch is sized to the EXACT live
+    block count, and the surviving frontier is compacted once it shrinks
+    (4x size buckets bound the compile count). ``debug`` prints per-round
+    frontier/block/timing stats.
     """
+    import time as _time
+
     r = origins.shape[0]
     o = jnp.asarray(origins, jnp.float32)
     d = jnp.asarray(dirs, jnp.float32)
@@ -1066,48 +1128,75 @@ def grid_cast_wavefront(
     max_steps = grid.nx + grid.ny + grid.nz + 4
     if max_rounds is None:
         max_rounds = -(-max_steps // visits) + 1
-    # exact bound: total blocks = Σ_cells ceil(run/block) ≤ p//block +
-    # #segments (occupied cells + the one dead-pair segment)
-    nb_cap = 256
-    want = (r * visits) // block + max(grid.n_occupied, 1) + 2
-    while nb_cap < want:
-        nb_cap *= 2
 
     best_t = jnp.full(r, jnp.inf)
     best_tri = jnp.full(r, -1, jnp.int32)
     best_u = jnp.zeros(r)
     best_v = jnp.zeros(r)
     count = jnp.zeros(r, jnp.int32)
+
+    # compacted working set: starts as the full bundle; once the live
+    # frontier drops below a quarter of the buffer the survivors are
+    # front-packed into a 4x-bucketed buffer (pow4 keeps the compile count
+    # bounded) — later rounds then pay for the rays that remain, not the
+    # bundle (most rays retire on their first occupied cell)
+    o_c, d_c = o, d
+    ridx = jnp.arange(r, dtype=jnp.int32)
     t_cur = jnp.zeros(r, jnp.float32)
     alive = jnp.ones(r, bool)
     c_resume = jnp.zeros((r, 3), jnp.int32)
+    rc = r
 
     for rnd in range(max_rounds):
+        t_rnd = _time.perf_counter() if debug else 0.0
         vis, t_cov, more, c_resume = _enumerate_visits(
-            o, d, t_cur, alive, c_resume,
+            o_c, d_c, t_cur, alive, c_resume,
             grid.lo, grid.cell, grid.nx, grid.ny, grid.nz, grid.skip,
-            ray_tile=min(ray_tile, max(256, 1 << (r - 1).bit_length())),
+            ray_tile=min(ray_tile, max(256, 1 << (rc - 1).bit_length())),
             visits=visits, max_steps=max_steps, first_round=(rnd == 0))
-        t, tri, u, v, cnt = _cell_major_test(
-            o, d, jnp.where(alive[:, None], vis, -1),
-            grid.tri_of_slot, grid.packed,
-            grid.lo, jnp.float32(grid.cell), dims,
-            block=block, nb_cap=nb_cap,
-            cell_rank=grid.cell_rank, cell_rows=grid.cell_rows,
-            packed_cells=bool(grid.packed_cells))
-        better = alive & (t < best_t)
-        best_tri = jnp.where(better, tri, best_tri)
-        best_u = jnp.where(better, u, best_u)
-        best_v = jnp.where(better, v, best_v)
-        best_t = jnp.where(alive, jnp.minimum(best_t, t), best_t)
-        count = count + jnp.where(alive, cnt, 0)
-        # retire: closest hit confirmed inside the covered interval (unless
-        # counting all crossings), or grid exhausted
-        done_hit = jnp.logical_not(count_all) & (best_t <= t_cov + 1e-6)
-        alive = alive & more & jnp.logical_not(done_hit)
+        skeys, srays, blk_id, pos_in_blk, live_pair, inv_order, n_blk_d = \
+            _sort_pairs(jnp.where(alive[:, None], vis, -1), block)
+        n_blk = int(n_blk_d)  # host sync: exact live block count this round
+        if n_blk > 0:
+            # 4x buckets bound the compile count to ~6 variants per bundle
+            nb_cap = 256
+            while nb_cap < n_blk:
+                nb_cap *= 4
+            t, tri, u, v, cnt = _mt_blocks(
+                o_c, d_c, skeys, srays, blk_id, pos_in_blk, live_pair,
+                inv_order, grid.tri_of_slot, grid.packed,
+                grid.lo, jnp.float32(grid.cell), dims,
+                block=block, nb_cap=nb_cap,
+                cell_rank=grid.cell_rank, cell_rows=grid.cell_rows,
+                packed_cells=bool(grid.packed_cells))
+        else:
+            t = jnp.full(rc, jnp.inf)
+            tri = jnp.full(rc, -1, jnp.int32)
+            u = v = jnp.zeros(rc)
+            cnt = jnp.zeros(rc, jnp.int32)
+        best_t, best_tri, best_u, best_v, count, alive = _merge_round(
+            best_t, best_tri, best_u, best_v, count, ridx, alive, more,
+            t, tri, u, v, cnt, t_cov, count_all=count_all)
         t_cur = t_cov
-        if not bool(jnp.any(alive)):
+        n_alive = int(jnp.sum(alive))  # host sync: frontier size
+        if debug:
+            print(f"# wavefront rnd={rnd} rc={rc} blocks={n_blk} "
+                  f"alive={n_alive} dt={_time.perf_counter() - t_rnd:.3f}s",
+                  flush=True)
+        if n_alive == 0:
             break
+        if n_alive <= rc // 4 and rc > 2048:
+            rc_new = 2048
+            while rc_new < n_alive:
+                rc_new *= 4
+            sel = nonzero_rows(alive, rc_new)
+            safe = jnp.maximum(sel, 0)
+            o_c, d_c = o_c[safe], d_c[safe]
+            t_cur = t_cur[safe]
+            c_resume = c_resume[safe]
+            ridx = ridx[safe]
+            alive = sel >= 0
+            rc = rc_new
 
     # residual pass (overflow-spilled triangles) — identical to grid_cast
     if grid.n_residual > 0:

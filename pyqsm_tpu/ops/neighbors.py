@@ -403,15 +403,18 @@ def _grid_tile_any_k(
     ok = (cand_idx >= 0) & (d2 <= radius * radius)
     pos = jnp.cumsum(ok.astype(jnp.int32), axis=1) - 1  # [qt, C]
     take = ok & (pos < k)
-    # single 2-D scatter: positions are unique per row among taken entries
+    # single flat scatter: positions are unique per row among taken entries
+    # (flattened index — stacked 2-component scatter indices get a padded
+    # s32[*, 2] -> [*, 128] copy on TPU, see sparse.build_banded)
     rows = jax.lax.broadcasted_iota(jnp.int32, pos.shape, 0)
-    slot = jnp.where(take, pos, k)  # k = dropped
-    out_idx = jnp.full((qt, k), -1, jnp.int32).at[rows, slot].set(
+    slot = jnp.where(take, pos, k)  # k = the row's drop lane
+    flat = rows * (k + 1) + slot
+    out_idx = jnp.full(qt * (k + 1), -1, jnp.int32).at[flat].set(
         cand_idx, mode="drop"
-    )
-    out_d = jnp.full((qt, k), jnp.inf).at[rows, slot].set(
+    ).reshape(qt, k + 1)[:, :k]
+    out_d = jnp.full(qt * (k + 1), jnp.inf).at[flat].set(
         jnp.sqrt(jnp.maximum(d2, 0.0)), mode="drop"
-    )
+    ).reshape(qt, k + 1)[:, :k]
     return out_d, out_idx
 
 

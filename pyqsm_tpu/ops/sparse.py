@@ -110,11 +110,17 @@ def build_banded(
     cpos = nbr_idx - (blk - 1) * bs
     valid = nbr_idx >= 0
     in_win = valid & (cpos >= 0) & (cpos < 3 * bs)
-    b_w = jnp.zeros((nb, bs, 3 * bs), w.dtype).at[
-        jnp.where(in_win, blk, nb),
-        row % bs,
-        jnp.where(in_win, cpos, 0),
-    ].add(jnp.where(in_win, w, 0.0), mode="drop")
+    # single flattened destination index: a multi-component scatter stacks
+    # its index arrays into s32[n, k, 3], and the TPU T(8,128) layout pads
+    # the minor dim 3 -> 128 (a 31 GB copy at 3.8M x 16 — measured OOM)
+    flat_dst = jnp.where(
+        in_win,
+        (jnp.minimum(blk, nb - 1) * bs + row % bs) * (3 * bs) + cpos,
+        nb * bs * 3 * bs,
+    )
+    b_w = jnp.zeros(nb * bs * 3 * bs + 1, w.dtype).at[flat_dst].add(
+        jnp.where(in_win, w, 0.0), mode="drop"
+    )[:-1].reshape(nb, bs, 3 * bs)
 
     spill = valid & ~in_win
     flat_s = spill.reshape(-1)
@@ -152,11 +158,16 @@ def build_banded_window(
     cpos = nbr_idx - start - (blk - 1) * bs
     valid = nbr_idx >= 0
     in_win = valid & (cpos >= 0) & (cpos < 3 * bs)
-    b_w = jnp.zeros((nb, bs, 3 * bs), w.dtype).at[
-        jnp.where(in_win, blk, nb),
-        row % bs,
-        jnp.where(in_win, cpos, 0),
-    ].add(jnp.where(in_win, w, 0.0), mode="drop")
+    # flattened destination — see build_banded (3-component scatter indices
+    # get a padded s32[n, k, 3]->[n, k, 128] copy on TPU)
+    flat_dst = jnp.where(
+        in_win,
+        (jnp.minimum(blk, nb - 1) * bs + row % bs) * (3 * bs) + cpos,
+        nb * bs * 3 * bs,
+    )
+    b_w = jnp.zeros(nb * bs * 3 * bs + 1, w.dtype).at[flat_dst].add(
+        jnp.where(in_win, w, 0.0), mode="drop"
+    )[:-1].reshape(nb, bs, 3 * bs)
 
     spill = valid & ~in_win
     flat_s = spill.reshape(-1)
@@ -294,10 +305,15 @@ def build_transpose_ell(
     overflow = jnp.any((sd < n) & (pos >= kt))
     row = jnp.where(keep, sd, n)
     slot = jnp.where(keep, pos, 0)
-    t_idx = jnp.full((n + 1, kt), -1, jnp.int32).at[row, slot].set(
+    # flattened destination: 2-component scatter indices get stacked into
+    # s32[nk, 2] and the TPU layout pads 2 -> 128 (see build_banded)
+    flat = row * kt + slot
+    t_idx = jnp.full((n + 1) * kt, -1, jnp.int32).at[flat].set(
         ss, mode="drop"
-    )[:n]
-    t_w = jnp.zeros((n + 1, kt)).at[row, slot].set(sw, mode="drop")[:n]
+    )[: n * kt].reshape(n, kt)
+    t_w = jnp.zeros((n + 1) * kt).at[flat].set(
+        sw, mode="drop"
+    )[: n * kt].reshape(n, kt)
     return t_idx, t_w, overflow
 
 
