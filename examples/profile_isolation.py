@@ -49,6 +49,10 @@ def main() -> int:
     from bench import synthetic_plot
 
     import jax
+
+    if os.environ.get("JAX_PLATFORMS") == "cpu":
+        # the axon plugin ignores the env var; only the config call works
+        jax.config.update("jax_platforms", "cpu")
     import jax.numpy as jnp
 
     from pyqsm_tpu.config import IsolationConfig

@@ -82,20 +82,26 @@ def region_grow(
     bit-identical to the gather path (same edge set, same min-id
     tie-break); spill overflow falls back to the gather path."""
     n, k = nbr_idx.shape
+    # The banded claim is kept as an opt-in (PYQSM_CLAIM=band): measured on
+    # v5e at the 10M-pt headline (1.53M reps, k=16, 42 cycles) it runs 3x
+    # SLOWER than the gather kernel (29.8 s vs 10.0 s steady, plus a 16 s
+    # band build) — the one-hot OR reads the full 768-wide bf16 band
+    # (~2.3 GB) every cycle while the gather reads ~100 MB of [N, k] rows.
+    # MXU eligibility doesn't pay when the claim is bandwidth-bound and the
+    # band carries 3 x BAND_BLOCK columns for k=16 edges. Labels are
+    # bit-identical either way (equality- and fuzz-tested).
+    import os
+
+    mode = os.environ.get("PYQSM_CLAIM", "auto")
     use_band = (
-        not scatter_push
+        mode == "band"
+        and not scatter_push
         and cluster_cap is not None
         and cluster_cap <= 128
         and n % 256 == 0
         and n >= 32768
         and _band_claim_bytes(n, int(cluster_cap)) <= _band_bytes_budget()
     )
-    # PYQSM_CLAIM: "gather" forces the gather kernel (the A/B knob for
-    # profiling the two bit-identical claim paths on real hardware).
-    import os
-
-    if os.environ.get("PYQSM_CLAIM") == "gather":
-        use_band = False
     if use_band:
         b_adj, s_i, s_j, s_w, over = _claim_band(nbr_idx, mask)
         if not bool(over):
@@ -103,6 +109,25 @@ def region_grow(
                 b_adj, s_i, s_j, s_w, seed_labels, mask,
                 max_cycles=max_cycles, min_frontier=min_frontier,
                 cluster_cap=int(cluster_cap), active0=active0)
+    # frontier-compacted push (the default at scale): per-cycle cost is
+    # proportional to the claim FRONT, not the cloud — every row is claimed
+    # once, so total claim work is O(N·kt) over the whole run instead of
+    # O(cycles·N·k). Bit-identical labels (same edge set, same min-id
+    # tie-break); falls back to the gather kernel when the transpose
+    # in-degree overflows its cap.
+    use_push = (
+        mode in ("auto", "push")
+        and not scatter_push
+        and cluster_cap is not None
+        and (n >= 262144 or mode == "push")
+    )
+    if use_push:
+        res = _region_grow_push(
+            nbr_idx, seed_labels, mask, max_cycles=max_cycles,
+            min_frontier=min_frontier, cluster_cap=int(cluster_cap),
+            active0=active0)
+        if res is not None:
+            return res
     return _region_grow_gather(
         nbr_idx, seed_labels, mask, max_cycles=max_cycles,
         min_frontier=min_frontier, scatter_push=scatter_push,
@@ -195,6 +220,106 @@ def _region_grow_banded(
         cond, body, (labels0, frontier0, order0, active0, jnp.int32(0))
     )
     return GrowthResult(labels, order, cyc, active)
+
+
+@jax.jit
+def _masked_edges_and_indeg(nbr_idx: Array, mask: Array):
+    """Edge-masked neighbor lists (the exact edge set the gather claim uses)
+    plus the max in-degree — sizes the transpose ELL cap."""
+    n = nbr_idx.shape[0]
+    edge = (nbr_idx >= 0) & mask[:, None] & mask[jnp.clip(nbr_idx, 0, n - 1)]
+    idx_m = jnp.where(edge, nbr_idx, -1)
+    dst = jnp.where(edge, nbr_idx, n).reshape(-1)
+    cnt = jax.ops.segment_sum(
+        jnp.ones_like(dst), dst, num_segments=n + 1)[:n]
+    return idx_m, edge, jnp.max(cnt)
+
+
+@partial(jax.jit, static_argnames=("min_frontier", "cluster_cap", "f_cap"))
+def _push_cycle(
+    t_idx: Array, labels: Array, order: Array, active: Array,
+    f_rows: Array, mask: Array, cyc: Array,
+    min_frontier: int, cluster_cap: int, f_cap: int,
+):
+    """One claim cycle driven from the compacted frontier: each frontier row
+    pushes its cluster id (scatter-MIN — the gather path's min-id tie-break)
+    along its in-edge transpose rows; unclaimed receivers claim."""
+    n = labels.shape[0]
+    c = cluster_cap
+    fr = jnp.maximum(f_rows, 0)
+    valid = f_rows >= 0
+    lab_f = labels[fr]
+    act_f = valid & (lab_f >= 0) & active[jnp.clip(lab_f, 0, c - 1)]
+    tgt = t_idx[fr]  # [f_cap, kt] rows whose neighbor lists contain fr
+    tgt_ok = act_f[:, None] & (tgt >= 0)
+    code_f = jnp.where(act_f, lab_f, _BIG)
+    cand = jnp.full(n + 1, _BIG, jnp.int32).at[
+        jnp.where(tgt_ok, tgt, n)
+    ].min(jnp.broadcast_to(code_f[:, None], tgt.shape), mode="drop")[:n]
+
+    unclaimed = mask & (labels < 0)
+    newly = unclaimed & (cand < _BIG)
+    labels = jnp.where(newly, cand, labels)
+    order = jnp.where(newly, cyc + 1, order)
+
+    key = jnp.where(newly, jnp.clip(labels, 0, c - 1), c)
+    new_counts = jax.ops.segment_sum(
+        newly.astype(jnp.int32), key, num_segments=c + 1)[:c]
+    active = active & (new_counts >= min_frontier)
+    frontier = newly & active[jnp.clip(labels, 0, c - 1)]
+    return labels, order, active, frontier, jnp.sum(frontier)
+
+
+def _region_grow_push(
+    nbr_idx: Array,
+    seed_labels: Array,
+    mask: Array,
+    max_cycles: int,
+    min_frontier: int,
+    cluster_cap: int,
+    active0: Array | None = None,
+    kt_max: int = 128,
+) -> GrowthResult | None:
+    """Frontier-compacted growth, bit-identical to ``_region_grow_gather``
+    (equality- and fuzz-tested). The radius graph's transpose is built once
+    (ELL rows of in-edges, exact up to ``kt_max`` in-degree — beyond that
+    return None and let the caller fall back); each cycle then costs
+    O(frontier·kt) scatter-min plus O(N) elementwise, with one 4-byte
+    frontier-count sync. Measured v5e @10M headline: gather 10.0 s for 42
+    cycles at [1.53M, 16]; the push front touches each row once."""
+    from pyqsm_tpu.ops.sampling import nonzero_rows
+    from pyqsm_tpu.ops.sparse import build_transpose_ell
+
+    n, k = nbr_idx.shape
+    c = int(cluster_cap)
+    idx_m, edge, deg_max = _masked_edges_and_indeg(nbr_idx, mask)
+    kt = 8
+    while kt < int(deg_max):
+        kt *= 2
+    if kt > kt_max:
+        return None
+    t_idx, _, over = build_transpose_ell(idx_m, edge.astype(jnp.float32), kt)
+    if bool(over):  # cannot happen with kt >= deg_max; guard anyway
+        return None
+
+    labels = jnp.where(mask, seed_labels, -1)
+    frontier = labels >= 0
+    order = jnp.where(frontier, 0, -1)
+    active = (jnp.ones(c, dtype=bool) if active0 is None
+              else jnp.asarray(active0))
+    nf = int(jnp.sum(frontier))
+    cyc = 0
+    while nf > 0 and cyc < max_cycles:
+        f_cap = 1024
+        while f_cap < nf:
+            f_cap *= 4
+        f_rows = nonzero_rows(frontier, f_cap)
+        labels, order, active, frontier, nf_d = _push_cycle(
+            t_idx, labels, order, active, f_rows, mask, jnp.int32(cyc),
+            min_frontier=min_frontier, cluster_cap=c, f_cap=f_cap)
+        nf = int(nf_d)
+        cyc += 1
+    return GrowthResult(labels, order, jnp.int32(cyc), active)
 
 
 @partial(jax.jit, static_argnames=("max_cycles", "min_frontier", "scatter_push",

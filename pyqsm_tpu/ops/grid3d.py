@@ -1186,6 +1186,8 @@ def grid_cast_wavefront(
         if n_alive == 0:
             break
         if n_alive <= rc // 4 and rc > 2048:
+            from pyqsm_tpu.ops.sampling import nonzero_rows
+
             rc_new = 2048
             while rc_new < n_alive:
                 rc_new *= 4

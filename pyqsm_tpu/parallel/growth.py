@@ -224,8 +224,13 @@ def region_grow_sharded(
 
     from pyqsm_tpu.models.isolation import _band_bytes_budget, _band_claim_bytes
 
-    # per-shard HBM bound: each device holds only its row slice of the band
-    use_band = (cluster_cap <= 128 and n_local % _bs == 0
+    import os
+
+    # per-shard HBM bound: each device holds only its row slice of the band.
+    # Opt-in only (PYQSM_CLAIM=band): the banded claim measured 3x slower
+    # than the gather kernel on v5e (see models/isolation.region_grow).
+    use_band = (os.environ.get("PYQSM_CLAIM") == "band"
+                and cluster_cap <= 128 and n_local % _bs == 0
                 and nbr_idx.shape[0] >= 32768
                 and _band_claim_bytes(n_local, cluster_cap)
                 <= _band_bytes_budget())

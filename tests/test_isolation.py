@@ -121,10 +121,14 @@ def test_observed_growth_matches_unobserved(rng, tmp_path):
     assert len(list((tmp_path / "growth").glob("step_*.npz"))) == len(calls)
 
 
-def test_region_grow_banded_matches_gather(rng):
+@pytest.mark.parametrize("mode", ["band", "push"])
+def test_region_grow_claim_matches_gather(rng, monkeypatch, mode):
     """At banded scale (N%256==0, compact ids, Morton rows) the block-banded
-    claim step must be BIT-IDENTICAL to the gather path: same edge set, same
-    min-id tie-break, same retirement."""
+    and frontier-push claim steps must be BIT-IDENTICAL to the gather path:
+    same edge set, same min-id tie-break, same retirement. (The band is
+    opt-in since the v5e measurement showed it 3x slower; push is the
+    at-scale default.)"""
+    monkeypatch.setenv("PYQSM_CLAIM", mode)
     from pyqsm_tpu.models.isolation import _region_grow_gather
     from pyqsm_tpu.ops.sparse import morton_codes
 
@@ -154,14 +158,17 @@ def test_region_grow_banded_matches_gather(rng):
     np.testing.assert_array_equal(np.asarray(res_b.active),
                                   np.asarray(res_g.active))
     assert int(res_b.cycles_run) == int(res_g.cycles_run)
-    # sanity: the banded path actually engaged (labels spread beyond seeds)
+    # sanity: the claim path actually engaged (labels spread beyond seeds)
     assert int(jnp.sum(res_b.labels >= 0)) > 24
 
 
-def test_region_grow_banded_fuzz_matches_gather(rng):
+@pytest.mark.parametrize("mode", ["band", "push"])
+def test_region_grow_claim_fuzz_matches_gather(rng, monkeypatch, mode):
     """Randomized equivalence: mostly-local graphs with random far edges
-    (spill-heavy), masked-out rows, sparse/empty seeds — banded and gather
-    claims must stay bit-identical in every trial."""
+    (spill-heavy), masked-out rows, sparse/empty seeds — the banded and the
+    frontier-push claims must stay bit-identical to the gather kernel in
+    every trial."""
+    monkeypatch.setenv("PYQSM_CLAIM", mode)
     from pyqsm_tpu.models.isolation import _region_grow_gather
 
     n, k = 32768, 6

@@ -229,11 +229,14 @@ def test_sharded_image_cast_matches_single(rng):
     np.testing.assert_array_equal(np.asarray(got.count), np.asarray(ref.count))
 
 
-def test_sharded_banded_growth_matches_gather_and_single_device(rng):
+def test_sharded_banded_growth_matches_gather_and_single_device(rng,
+                                                                monkeypatch):
     """At banded scale (n >= 32768, 256-aligned shard rows, few cluster
     ids) region_grow_sharded routes through the per-shard banded claim;
     labels/order/retirement must be IDENTICAL to both the gather-based
-    sharded path and the single-device region_grow."""
+    sharded path and the single-device region_grow. (Band forced on — it is
+    opt-in after the v5e measurement showed it slower than gather.)"""
+    monkeypatch.setenv("PYQSM_CLAIM", "band")
     from pyqsm_tpu.models.isolation import region_grow
     from pyqsm_tpu.ops.neighbors import grid_self_radius_knn
     from pyqsm_tpu.ops.sparse import morton_codes
