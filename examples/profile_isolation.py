@@ -129,6 +129,7 @@ def main() -> int:
     # ---- claim-path A/B ----
     paths = ["gather", "band"] if args.claim == "both" else [args.claim]
     results = {}
+    prior_claim = os.environ.get("PYQSM_CLAIM")  # restored after the A/B
     for path in paths:
         os.environ["PYQSM_CLAIM"] = path
         if path == "band":
@@ -148,7 +149,10 @@ def main() -> int:
             print(f"grow[{path}:{tag}]  {dt:8.2f}  cycles={int(res.cycles_run)}",
                   flush=True)
             results[(path, tag)] = (dt, np.asarray(res.labels))
-    os.environ.pop("PYQSM_CLAIM", None)
+    if prior_claim is None:
+        os.environ.pop("PYQSM_CLAIM", None)
+    else:
+        os.environ["PYQSM_CLAIM"] = prior_claim
 
     if len(paths) == 2:
         a = results[("gather", "steady" if args.repeat > 1 else "cold")][1]

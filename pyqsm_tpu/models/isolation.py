@@ -47,6 +47,14 @@ class GrowthResult(NamedTuple):
     active: Array  # [cluster_cap (or N)] bool — cluster-id-indexed activity at exit
 
 
+# Diagnostic: the claim kernel the last region_grow call actually ran
+# ("gather" | "push" | "band"). The push/band paths silently fall back to
+# gather when their preconditions fail (in-degree cap, spill overflow), so
+# equality tests read this to prove the intended kernel engaged rather than
+# comparing gather to itself (ADVICE r4).
+LAST_CLAIM_KERNEL: str = "?"
+
+
 def region_grow(
     nbr_idx: Array,  # [N, k] radius-graph neighbors (-1 padded)
     seed_labels: Array,  # [N] i32 initial cluster ids (-1 = unclaimed)
@@ -56,6 +64,7 @@ def region_grow(
     scatter_push: bool = False,
     cluster_cap: int | None = None,
     active0: Array | None = None,
+    kt_max: int = 128,
 ) -> GrowthResult:
     """Grow all seed clusters simultaneously until frontier exhaustion.
 
@@ -102,9 +111,11 @@ def region_grow(
         and n >= 32768
         and _band_claim_bytes(n, int(cluster_cap)) <= _band_bytes_budget()
     )
+    global LAST_CLAIM_KERNEL
     if use_band:
         b_adj, s_i, s_j, s_w, over = _claim_band(nbr_idx, mask)
         if not bool(over):
+            LAST_CLAIM_KERNEL = "band"
             return _region_grow_banded(
                 b_adj, s_i, s_j, s_w, seed_labels, mask,
                 max_cycles=max_cycles, min_frontier=min_frontier,
@@ -125,9 +136,11 @@ def region_grow(
         res = _region_grow_push(
             nbr_idx, seed_labels, mask, max_cycles=max_cycles,
             min_frontier=min_frontier, cluster_cap=int(cluster_cap),
-            active0=active0)
+            active0=active0, kt_max=kt_max)
         if res is not None:
+            LAST_CLAIM_KERNEL = "push"
             return res
+    LAST_CLAIM_KERNEL = "gather"
     return _region_grow_gather(
         nbr_idx, seed_labels, mask, max_cycles=max_cycles,
         min_frontier=min_frontier, scatter_push=scatter_push,

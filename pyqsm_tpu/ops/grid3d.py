@@ -1118,6 +1118,13 @@ def grid_cast_wavefront(
     block count, and the surviving frontier is compacted once it shrinks
     (4x size buckets bound the compile count). ``debug`` prints per-round
     frontier/block/timing stats.
+
+    Host-sync contract: this is a HOST-STEPPED loop — every round performs
+    two blocking device→host syncs (live block count, live frontier count)
+    that size the next dispatch and drive early exit/compaction. Do not
+    call it inside a larger traced computation (it cannot be jitted as a
+    whole), and don't expect overlap across concurrently-issued bundles;
+    for fully-traced composition use ``grid_cast`` (one program, no syncs).
     """
     import time as _time
 

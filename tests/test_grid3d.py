@@ -183,6 +183,86 @@ def test_wavefront_matches_grid_cast(rng):
                                       np.asarray(ref.count))
 
 
+def test_wavefront_compaction_matches_grid_cast(rng):
+    """Oracle for the ray-compaction branch (rc > 2048): 8192 rays where
+    ~90% retire in round one (fired away from the scene) and a long-corridor
+    minority survives several visits-bounded rounds, so the live frontier
+    drops under rc//4 and the survivors are front-packed into a smaller
+    buffer (8192 -> 2048, padding rows aliasing row 0). Results — t, tri,
+    uv-consistency, and count_all crossing counts — must match the DDA
+    path exactly through the compaction."""
+    from pyqsm_tpu.ops.grid3d import grid_cast_wavefront
+
+    # dense triangle wall at the far +x end of a long thin corridor: the
+    # corridor rays must traverse ~everything before terminating
+    ntri = 500
+    yz = rng.uniform(-1.5, 1.5, (ntri, 2)).astype(np.float32)
+    v0 = np.concatenate([np.full((ntri, 1), 40.0, np.float32), yz], 1)
+    verts = np.concatenate([
+        v0,
+        v0 + np.array([0.05, 0.4, 0.0], np.float32)
+        + rng.normal(0, 0.05, (ntri, 3)).astype(np.float32),
+        v0 + np.array([0.05, 0.0, 0.4], np.float32)
+        + rng.normal(0, 0.05, (ntri, 3)).astype(np.float32)])
+    tris = np.stack([np.arange(ntri), np.arange(ntri) + ntri,
+                     np.arange(ntri) + 2 * ntri], 1).astype(np.int32)
+    # tiny decoy triangles strewn along the corridor occupy its cells: the
+    # proximity-skip map can't jump them, so surviving rays burn a visit per
+    # decoy cell and live across many visits=4 rounds (mostly missing the
+    # decoys geometrically)
+    ndec = 120
+    dc = np.stack([rng.uniform(3.0, 38.0, ndec),
+                   rng.uniform(-1.2, 1.2, ndec),
+                   rng.uniform(-1.2, 1.2, ndec)], 1).astype(np.float32)
+    dverts = np.concatenate([
+        dc, dc + np.array([0.0, 0.02, 0.0], np.float32),
+        dc + np.array([0.0, 0.0, 0.02], np.float32)])
+    dtris = (np.stack([np.arange(ndec), np.arange(ndec) + ndec,
+                       np.arange(ndec) + 2 * ndec], 1).astype(np.int32)
+             + len(verts))
+    # a triangle behind the origin so round-1 retirees can also HIT
+    near = np.array([[0, -9, -9], [0, 9, -9], [0, 0, 9]], np.float32)
+    nt0 = len(verts) + len(dverts)
+    verts = np.concatenate([verts, dverts, near])
+    tris = np.concatenate(
+        [tris, dtris, np.array([[nt0, nt0 + 1, nt0 + 2]], np.int32)])
+    grid = build_grid3d(jnp.asarray(verts), jnp.asarray(tris))
+
+    n_rays = 8192
+    origins = np.zeros((n_rays, 3), np.float32)
+    origins[:, 0] = rng.uniform(0.5, 2.0, n_rays)
+    origins[:, 1:] = rng.uniform(-1.0, 1.0, (n_rays, 2))
+    dirs = np.zeros((n_rays, 3), np.float32)
+    # 90%: straight back through the near wall and out (retire round 1)
+    dirs[:, 0] = -1.0
+    # 10%: down the corridor toward the far wall, many cells to cross
+    far_rows = rng.choice(n_rays, n_rays // 10, replace=False)
+    jitter = rng.normal(0, 0.01, (len(far_rows), 2)).astype(np.float32)
+    dirs[far_rows, 0] = 1.0
+    dirs[far_rows, 1:] = jitter
+    dirs /= np.linalg.norm(dirs, axis=1, keepdims=True)
+
+    ref = grid_cast(grid, jnp.asarray(origins), jnp.asarray(dirs),
+                    count_all=True)
+    import contextlib
+    import io
+
+    dbg = io.StringIO()
+    with contextlib.redirect_stdout(dbg):
+        hits = grid_cast_wavefront(grid, jnp.asarray(origins),
+                                   jnp.asarray(dirs), visits=4,
+                                   count_all=True, debug=True)
+    rcs = [int(line.split("rc=")[1].split()[0])
+           for line in dbg.getvalue().splitlines() if "rc=" in line]
+    assert min(rcs) < 8192, f"compaction never engaged: rc per round {rcs}"
+    t0 = np.where(np.isfinite(np.asarray(ref.t)), np.asarray(ref.t), -1)
+    t1 = np.where(np.isfinite(np.asarray(hits.t)), np.asarray(hits.t), -1)
+    np.testing.assert_allclose(t1, t0, atol=1e-4)
+    _assert_hits_match(hits, ref, jnp.asarray(verts), jnp.asarray(tris))
+    np.testing.assert_array_equal(np.asarray(hits.count),
+                                  np.asarray(ref.count))
+
+
 def test_chebyshev_dt_matches_scipy():
     """The numpy fallback for the proximity-skip map must match scipy's
     chessboard distance transform wherever both are defined (< saturation)."""

@@ -160,6 +160,11 @@ def test_region_grow_claim_matches_gather(rng, monkeypatch, mode):
     assert int(res_b.cycles_run) == int(res_g.cycles_run)
     # sanity: the claim path actually engaged (labels spread beyond seeds)
     assert int(jnp.sum(res_b.labels >= 0)) > 24
+    # the intended kernel must have RUN — push/band silently fall back to
+    # gather on precondition failure, which would make this test vacuous
+    import pyqsm_tpu.models.isolation as _iso
+
+    assert _iso.LAST_CLAIM_KERNEL == mode
 
 
 @pytest.mark.parametrize("mode", ["band", "push"])
@@ -191,7 +196,11 @@ def test_region_grow_claim_fuzz_matches_gather(rng, monkeypatch, mode):
         args = (jnp.asarray(idx), jnp.asarray(seeds), jnp.asarray(mask))
         kw = dict(max_cycles=40, min_frontier=[2, 1, 3, 2][trial],
                   cluster_cap=16)
-        res_b = region_grow(*args, **kw)
+        # these fuzz graphs clamp many local edges onto row n-1, pushing max
+        # in-degree to ~160-210 — above the default push cap of 128, which
+        # would silently fall back to gather and test nothing (ADVICE r4)
+        res_b = region_grow(*args, **kw,
+                            **({"kt_max": 256} if mode == "push" else {}))
         res_g = _region_grow_gather(*args, **kw)
         np.testing.assert_array_equal(np.asarray(res_b.labels),
                                       np.asarray(res_g.labels),
@@ -202,3 +211,30 @@ def test_region_grow_claim_fuzz_matches_gather(rng, monkeypatch, mode):
         np.testing.assert_array_equal(np.asarray(res_b.active),
                                       np.asarray(res_g.active),
                                       err_msg=f"trial {trial}")
+        import pyqsm_tpu.models.isolation as _iso
+
+        # res_g went through _region_grow_gather directly, so the diagnostic
+        # still reflects the region_grow dispatch for res_b
+        assert _iso.LAST_CLAIM_KERNEL == mode, f"trial {trial} fell back"
+
+
+def test_region_grow_push_falls_back_on_indegree_overflow(rng, monkeypatch):
+    """When the transpose in-degree exceeds kt_max the push path must refuse
+    (return None) and region_grow must produce gather labels instead."""
+    monkeypatch.setenv("PYQSM_CLAIM", "push")
+    import pyqsm_tpu.models.isolation as _iso
+    from pyqsm_tpu.models.isolation import _region_grow_gather
+
+    n, k = 4096, 4
+    idx = rng.integers(0, n, (n, k)).astype(np.int32)
+    idx[:, 0] = 7  # row 7's in-degree ~ n, far above any sane cap
+    idx[idx == np.arange(n)[:, None]] = -1
+    seeds = np.full(n, -1, np.int32)
+    seeds[:8] = np.arange(8) % 4
+    args = (jnp.asarray(idx), jnp.asarray(seeds), jnp.ones(n, bool))
+    kw = dict(max_cycles=20, min_frontier=1, cluster_cap=8)
+    res = region_grow(*args, **kw, kt_max=64)
+    assert _iso.LAST_CLAIM_KERNEL == "gather"
+    ref = _region_grow_gather(*args, **kw)
+    np.testing.assert_array_equal(np.asarray(res.labels),
+                                  np.asarray(ref.labels))
