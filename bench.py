@@ -239,16 +239,41 @@ def _bench_body(args) -> None:
     iso_cfg = IsolationConfig(base_min_points=200, low_pctile=4.0,
                               max_dist=0.2, cycles=400, min_frontier=3)
 
-    def run_pipeline():
+    # steady-state pipeline fraction completed after each stage (r04 TPU
+    # shares: isolation 39%, ladder 4%, contraction 56%, topology <1%) —
+    # used to publish an honest points-processed-so-far partial value from
+    # INSIDE the cold pass, so a driver kill mid-pipeline still leaves a
+    # non-zero artifact (r04's official number was 0.0 for exactly this)
+    _STAGE_FRAC = {"isolation": 0.39, "ladder": 0.44,
+                   "contraction": 0.99, "topology": 1.0}
+
+    def run_pipeline(partial_basis: str | None = None):
         """One full isolate -> per-tree skeletonize+QSM pass (every tree)."""
         timings = {}
         t0 = time.perf_counter()
+
+        def _stage_done(stage: str, stage_s: float) -> None:
+            _progress(f"stage {stage} done in {stage_s:.1f}s")
+            if partial_basis is None:
+                return
+            frac = _STAGE_FRAC.get(stage, 0.0)
+            elapsed = time.perf_counter() - t0
+            ARTIFACT.update(
+                value=n * frac / elapsed / 1e6,
+                value_basis=partial_basis,
+                partial_stage=stage,
+                partial_elapsed_s=round(elapsed, 2),
+                note=f"{partial_basis}: pipeline through {stage} "
+                     f"({frac:.0%}) in {elapsed:.0f}s",
+            )
+
         _progress("process_plot start")
         res = process_plot(
             pts, mask, cfg, iso_cfg,
             skeleton_voxel=0.03,
             max_skeleton_points=args.skeleton_points,
             min_tree_points=2000,
+            progress=_stage_done,
         )
         _progress("process_plot done")
         n_cyl = sum(int(t.cylinders.count()) for t in res.trees)
@@ -259,7 +284,7 @@ def _bench_body(args) -> None:
     # pass 1: cold process — pays per-kernel executable load (and compiles on
     # a cold cache); pass 2: the steady-state number a resident service sees
     _progress("cold pass")
-    cold, res_c, n_cyl_c = run_pipeline()
+    cold, res_c, n_cyl_c = run_pipeline(partial_basis="cold_partial")
     lab_c = np.asarray(res_c.growth.labels)
     ARTIFACT.update(
         value=n / cold["total_s"] / 1e6,  # cold throughput = valid lower bound

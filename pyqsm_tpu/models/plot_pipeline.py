@@ -49,17 +49,32 @@ def process_plot(
     with_metrics: bool = False,
     max_trees: int | None = None,
     mesh=None,
+    progress=None,
 ) -> PlotResult:
     """Isolate every tree and fit a skeleton QSM per tree.
 
     ``mesh``: optional ``jax.sharding.Mesh`` — the growth loop runs sharded
     over the point axis (ICI label exchange) and the batched contraction
     runs data-parallel over the trees axis; semantics identical to the
-    single-device path (tested for equality)."""
+    single-device path (tested for equality).
+
+    ``progress``: optional ``callable(stage: str, stage_s: float)`` fired
+    after each stage completes (isolation/ladder/contraction/topology) —
+    lets a deadline-bounded caller (bench.py) publish partial progress so
+    a mid-pipeline kill still leaves evidence of work done. Exceptions from
+    the callback are swallowed."""
     import time
 
     if cfg is None:
         cfg = Config()
+
+    def _tick(stage: str, stage_s: float) -> None:
+        if progress is not None:
+            try:
+                progress(stage, stage_s)
+            except Exception:  # noqa: BLE001 — observer must not kill the run
+                pass
+
     timings: dict = {}
     t0 = time.perf_counter()
     growth = build_trees(points, mask, iso_cfg, mesh=mesh)
@@ -72,6 +87,7 @@ def process_plot(
         growth.labels, u_cap=4096)
     n_uniq = int(seg_n)
     timings["isolation_s"] = round(time.perf_counter() - t0, 2)
+    _tick("isolation", timings["isolation_s"])
     t0 = time.perf_counter()
     if n_uniq > 4096:  # more trees than the device buffer — host fallback
         lab = np.asarray(growth.labels)
@@ -147,11 +163,13 @@ def process_plot(
     )
 
     timings["ladder_s"] = round(time.perf_counter() - t0, 2)
+    _tick("ladder", timings["ladder_s"])
     t0 = time.perf_counter()
     skels = extract_skeleton_batch(batch_p, batch_m, cfg.skeletonize, mesh=mesh)
     jax.block_until_ready(skels.contracted)
     _ = float(jnp.sum(skels.total_shift))  # axon: block returns early
     timings["contraction_s"] = round(time.perf_counter() - t0, 2)
+    _tick("contraction", timings["contraction_s"])
     t0 = time.perf_counter()
 
     trees: list[TreeResult] = []
@@ -167,4 +185,5 @@ def process_plot(
                 p2, m2, shift=skels.first_shift[i][: p2.shape[0]])
         trees.append(TreeResult(tree_id, n_tree, cyls, metrics))
     timings["topology_s"] = round(time.perf_counter() - t0, 2)
+    _tick("topology", timings["topology_s"])
     return PlotResult(growth, trees, timings)

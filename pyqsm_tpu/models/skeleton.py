@@ -75,7 +75,7 @@ def set_amplification(n_points: int, termination_ratio: float) -> tuple[float, f
 @partial(
     jax.jit,
     static_argnames=(
-        "n_neighbors", "max_iter", "cg_iters",
+        "n_neighbors", "max_iter", "cg_iters", "cg_iters_first",
     ),
 )
 def _contract(
@@ -92,6 +92,7 @@ def _contract(
     cg_iters: int = 80,
     cg_tol: float = 3e-4,
     semantic_scale: Array | None = None,
+    cg_iters_first: int | None = None,
 ) -> SkeletonResult:
     n = points.shape[0]
     center, axes, half = obb_axes(points, mask)
@@ -109,10 +110,10 @@ def _contract(
     wh0 = jnp.full(n, attraction_factor)
     live = mask.astype(points.dtype)
 
-    def solve(L, wl, wh, pts):
+    def solve(L, wl, wh, pts, budget):
         b = (wh * wh)[:, None] * pts  # Aᵀb with b = [0; WH·p]
         diag = normal_diag(L, wl, wh)
-        x, _ = pcg((L, wl, wh), b, diag, x0=pts, tol=cg_tol, max_iters=cg_iters)
+        x, _ = pcg((L, wl, wh), b, diag, x0=pts, tol=cg_tol, max_iters=budget)
         return x
 
     def cond(state):
@@ -120,28 +121,39 @@ def _contract(
         not_stalled = (it == 0) | (prev - ratio >= _STALL_FRAC * prev)
         return (ratio > termination_ratio) & (it < max_iter) & not_stalled
 
-    def body(state):
-        pts, L, wl, wh, shift, first, ratio, prev, it = state
-        prev = ratio
-        new = solve(L, wl, wh, pts)
-        new = clamp_to_obb(new, center, axes, half)
-        new = jnp.where(mask[:, None], new, pts)
-        step_shift = (pts - new) * live[:, None]
-        shift = shift + step_shift
-        first = jnp.where(it == 0, step_shift, first)
-        L_new = point_cloud_laplacian(new, mask, n_neighbors, moll)
-        m = L_new.mass
-        m_mean = jnp.sum(jnp.where(mask, m, 0.0)) / jnp.maximum(jnp.sum(mask), 1)
-        ratio = m_mean / jnp.maximum(m0_mean, 1e-30)
-        wl = jnp.clip(wl * contraction_factor, 0.1, max_contraction)
-        wh = jnp.clip(wh * jnp.sqrt(m0 / jnp.maximum(m, 1e-30)), 0.1, max_attraction)
-        return new, L_new, wl, wh, shift, first, ratio, prev, it + 1
+    def make_body(budget):
+        def body(state):
+            pts, L, wl, wh, shift, first, ratio, prev, it = state
+            prev = ratio
+            new = solve(L, wl, wh, pts, budget)
+            new = clamp_to_obb(new, center, axes, half)
+            new = jnp.where(mask[:, None], new, pts)
+            step_shift = (pts - new) * live[:, None]
+            shift = shift + step_shift
+            first = jnp.where(it == 0, step_shift, first)
+            L_new = point_cloud_laplacian(new, mask, n_neighbors, moll)
+            m = L_new.mass
+            m_mean = jnp.sum(jnp.where(mask, m, 0.0)) / jnp.maximum(jnp.sum(mask), 1)
+            ratio = m_mean / jnp.maximum(m0_mean, 1e-30)
+            wl = jnp.clip(wl * contraction_factor, 0.1, max_contraction)
+            wh = jnp.clip(wh * jnp.sqrt(m0 / jnp.maximum(m, 1e-30)), 0.1, max_attraction)
+            return new, L_new, wl, wh, shift, first, ratio, prev, it + 1
+        return body
 
     zero = jnp.zeros_like(points)
     one_r = jnp.array(1.0, points.dtype)
     state = (points, L0, wl0, wh0, zero, zero, one_r, one_r, jnp.int32(0))
+    # front-loaded CG budget: the FIRST solve does the bulk radial motion
+    # (WL dominates WH before the mass-ratio reweighting); truncating it at
+    # cg_iters leaves a residual wall that later iterations anchor in place
+    # (measured on the r=0.3 m oracle branch: p50 0.10 m at 80/80 vs
+    # 0.018 m at 240-then-80, tests/test_laplacian_oracle.py). Budget-0
+    # iterations after it cost nothing extra: the schedule typically
+    # CONVERGES in fewer outer iterations from the better start.
+    first_budget = 3 * cg_iters if cg_iters_first is None else cg_iters_first
+    state = make_body(first_budget)(state)
     pts, _, _, _, shift, first, ratio, _, it = jax.lax.while_loop(
-        cond, body, state)
+        cond, make_body(cg_iters), state)
     return SkeletonResult(pts, shift, first, it, ratio)
 
 
@@ -152,6 +164,7 @@ def extract_skeleton(
     amplify_auto: bool = True,
     cg_iters: int = 80,
     trunk_mask: Array | None = None,
+    cg_iters_first: int | None = None,
 ) -> SkeletonResult:
     """Contract the cloud onto its skeleton (ref ``extract_skeleton``).
 
@@ -180,6 +193,7 @@ def extract_skeleton(
         termination_ratio=termination,
         cg_iters=cg_iters,
         semantic_scale=semantic_scale,
+        cg_iters_first=cg_iters_first,
     )
 
 
@@ -343,6 +357,7 @@ def extract_skeleton_batch(
     two_level: bool = True,
     coarse_stride: int = 4,
     _morton: bool = True,
+    cg_iters_first: int | None = None,
 ) -> SkeletonResult:
     """Contract a BATCH of trees, HOST-STEPPED: one contraction iteration
     (vmapped solve + Laplacian rebuild) per device dispatch, with the
@@ -380,7 +395,8 @@ def extract_skeleton_batch(
         msk_m = jnp.take_along_axis(masks, perm, axis=1)
         res = extract_skeleton_batch(
             pts_m, msk_m, cfg, cg_iters=cg_iters, mesh=mesh,
-            two_level=two_level, coarse_stride=coarse_stride, _morton=False)
+            two_level=two_level, coarse_stride=coarse_stride, _morton=False,
+            cg_iters_first=cg_iters_first)
         inv = jnp.argsort(perm, axis=1)
         return SkeletonResult(
             jnp.take_along_axis(res.contracted, inv[..., None], axis=1),
@@ -396,7 +412,9 @@ def extract_skeleton_batch(
     if two_level and points.shape[1] >= 8192 * coarse_stride // 2:
         return _extract_skeleton_two_level(
             points, masks, cfg, termination, contraction, cg_iters,
-            mesh=mesh, stride=coarse_stride)
+            mesh=mesh, stride=coarse_stride, cg_iters_first=cg_iters_first)
+    if cg_iters_first is None:
+        cg_iters_first = 3 * cg_iters
 
     banded = points.shape[1] % 256 == 0
     t = points.shape[0]
@@ -431,7 +449,7 @@ def extract_skeleton_batch(
     banded_now = banded
     prev_ratio = None
     stalled = np.zeros(tb, bool)
-    for _ in range(cfg.max_iter):
+    for outer in range(cfg.max_iter):
         # stall detector: a tree whose mass ratio improved < _STALL_FRAC in
         # one iteration has reached the contraction fixed point — near the
         # termination threshold the ratio can plateau marginally ABOVE it
@@ -455,7 +473,11 @@ def extract_skeleton_batch(
             contraction_factor=contraction,
             max_contraction=cfg.max_contraction,
             max_attraction=cfg.max_attraction,
-            termination_ratio=termination, cg_iters=cg_iters,
+            termination_ratio=termination,
+            # front-loaded CG budget — see _contract: the first solve does
+            # the bulk radial motion and its truncation error is locked in
+            # by the subsequent attraction reweighting
+            cg_iters=cg_iters_first if outer == 0 else cg_iters,
             banded=banded_now, active=active,
         )
     out = _unpermute_result(SkeletonResult(pts, shift, first, it, ratio), cum)
@@ -488,7 +510,7 @@ def _coarse_transfer(fine_p, fine_m, coarse_p, coarse_m, coarse_shift):
 def _extract_skeleton_two_level(
     points: Array, masks: Array, cfg: SkeletonizeConfig,
     termination: float, contraction: float, cg_iters: int,
-    mesh=None, stride: int = 4,
+    mesh=None, stride: int = 4, cg_iters_first: int | None = None,
 ) -> SkeletonResult:
     """Coarse→fine contraction (see ``extract_skeleton_batch`` docstring)."""
     import dataclasses
@@ -517,9 +539,13 @@ def _extract_skeleton_two_level(
     # 1. coarse pass: the bulk of the motion at 1/stride the matvec cost
     # (strided rows of the caller-Morton-ordered buffers stay spatially
     # uniform — a stride of a space-filling order is a uniform subsample)
+    # the coarse first solve carries the radial-accuracy budget (its cost
+    # is 1/stride of a full-res solve; the fine polish inherits the coarse
+    # field's accuracy through the displacement transfer)
     coarse = extract_skeleton_batch(
         points[:, ::stride], masks[:, ::stride], cfg_fixed,
-        cg_iters=cg_iters, mesh=None, two_level=False, _morton=False)
+        cg_iters=cg_iters, mesh=None, two_level=False, _morton=False,
+        cg_iters_first=cg_iters_first)
 
     # 2. init at ORIGINAL fine resolution (masses anchor the termination)
     center, obb_ax, half, L0, m0, m0_mean, wl0, wh0 = _contract_init_batch(
