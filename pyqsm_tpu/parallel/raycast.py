@@ -140,76 +140,146 @@ def sharded_cell_cast(
                           count=cnt[:ncells], ray_area=ray_area)
 
 
-def sharded_image_cast(mesh: Mesh, grid, axis: str = "points") -> Hits:
-    """Screen-space pinhole casting with each occupancy bucket's tile list
-    sharded over ``axis`` (scene + table replicated; a pinhole image is
-    embarrassingly parallel over pixel tiles). Completes the multi-chip
-    story for the third structured-bundle path; asserted equal to the
-    single-device ``ops.raygrid.image_cast``."""
+import functools
+
+
+@functools.lru_cache(maxsize=64)
+def _sharded_image_fn(mesh, axis, caps, n_ids, half, aspect,
+                      width, height, tile_px, n_res):
+    """Build-and-cache the fully-fused sharded pinhole program for one
+    (mesh, camera-shape, bucket-shape) key. The r4 implementation re-built
+    ``jax.jit(shard_map(...))`` per bucket per CALL and merged buckets with
+    EAGER scatters — ~30 host↔device round trips per frame, a measured 21x
+    overhead vs the single-device ``image_cast`` (one dispatch). This is
+    the same one-dispatch design as ``raygrid._image_cast_fused`` with each
+    bucket's tile list sharded over ``axis``; the scatter-merge and image
+    assembly live INSIDE the jit and XLA propagates shardings through."""
     import jax.numpy as jnp
 
     from pyqsm_tpu.ops.raygrid import _image_cast_tiles
 
-    rid = np.asarray(grid.residual)
-    if (rid >= 0).any():
-        raise NotImplementedError(
-            "sharded_image_cast: eye-straddling residual triangles present; "
-            "use ops.raygrid.image_cast (single device) for this camera")
-
-    ntx = -(-grid.width // grid.tile_px)
-    nty = -(-grid.height // grid.tile_px)
-    tp = grid.tile_px
+    ntx = -(-width // tile_px)
+    nty = -(-height // tile_px)
+    tp = tile_px
     rpc = tp * tp
     ntiles = ntx * nty
     n_dev = int(np.prod(mesh.devices.shape))
 
-    t_all = jnp.full((ntiles + 1, rpc), jnp.inf, jnp.float32)
-    tri_all = jnp.full((ntiles + 1, rpc), -1, jnp.int32)
-    u_all = jnp.zeros((ntiles + 1, rpc), jnp.float32)
-    v_all = jnp.zeros((ntiles + 1, rpc), jnp.float32)
-    cnt_all = jnp.zeros((ntiles + 1, rpc), jnp.int32)
+    def run(ids_list, rows_list, eye, right, true_up, fwd,
+            tri_of_slot, v0, e1, e2, valid, res_slots):
+        t_all = jnp.full((ntiles + 1, rpc), jnp.inf, jnp.float32)
+        tri_all = jnp.full((ntiles + 1, rpc), -1, jnp.int32)
+        u_all = jnp.zeros((ntiles + 1, rpc), jnp.float32)
+        v_all = jnp.zeros((ntiles + 1, rpc), jnp.float32)
+        cnt_all = jnp.zeros((ntiles + 1, rpc), jnp.int32)
+        for cap, ids_p, rows_p in zip(caps, ids_list, rows_list):
+            def local(ids_l, rows_l, tab, v0_, e1_, e2_, valid_,
+                      eye_, right_, up_, fwd_):
+                # one block per shard: the local tile list is bounded
+                return _image_cast_tiles(
+                    ids_l, eye_, right_, up_, fwd_,
+                    half, aspect, width, height, tp,
+                    tab, v0_, e1_, e2_, valid_,
+                    tiles_per_block=max(ids_l.shape[0], 1),
+                    rows_aligned=rows_l, packed_cells=True,
+                )
 
+            t_, tri_, u_, v_, cnt_ = shard_map(
+                local, mesh=mesh,
+                in_specs=(P(axis), P(axis), P(), P(), P(), P(), P(),
+                          P(), P(), P(), P()),
+                out_specs=(P(axis),) * 5,
+                check_vma=False,
+            )(ids_p, rows_p, tri_of_slot[:, :cap], v0, e1, e2, valid,
+              eye, right, true_up, fwd)
+            row = jnp.where(ids_p >= 0, ids_p, ntiles)
+            t_all = t_all.at[row].set(t_, mode="drop")
+            tri_all = tri_all.at[row].set(tri_, mode="drop")
+            u_all = u_all.at[row].set(u_, mode="drop")
+            v_all = v_all.at[row].set(v_, mode="drop")
+            cnt_all = cnt_all.at[row].set(cnt_, mode="drop")
+
+        def to_image(flat):
+            img = flat[:ntiles].reshape(ntx, nty, tp, tp)
+            img = jnp.transpose(img, (1, 2, 0, 3))
+            img = img.reshape(nty * tp, ntx * tp)
+            return img[:height, :width].reshape(-1)
+
+        t = to_image(t_all)
+        tri = to_image(tri_all)
+        u_i = to_image(u_all)
+        v_i = to_image(v_all)
+        cnt = to_image(cnt_all)
+
+        if n_res:
+            # eye-straddling residual triangles (r4 raised here): the same
+            # brute MT merge as image_cast, pixel axis sharded over the mesh
+            from pyqsm_tpu.ops.raytrace import _cast_rays_xla, pinhole_rays
+
+            fov = float(np.degrees(2 * np.arctan(half)))
+            origins, dirs = pinhole_rays(eye, eye + fwd, true_up,
+                                         fov, width, height)
+            verts_r = jnp.concatenate(
+                [v0[res_slots][:, None, :],
+                 (v0 + e1)[res_slots][:, None, :],
+                 (v0 + e2)[res_slots][:, None, :]], 1).reshape(-1, 3)
+            tris_flat = jnp.arange(verts_r.shape[0],
+                                   dtype=jnp.int32).reshape(-1, 3)
+            npx = width * height
+            pad_px = (-npx) % n_dev
+            o_p = jnp.pad(origins, ((0, pad_px), (0, 0)))
+            d_p = jnp.pad(dirs, ((0, pad_px), (0, 0)), constant_values=1.0)
+            hr = shard_map(
+                lambda o, d, v_, tr: _cast_rays_xla(o, d, v_, tr),
+                mesh=mesh,
+                in_specs=(P(axis), P(axis), P(), P()),
+                out_specs=Hits(t=P(axis), tri=P(axis), uv=P(axis),
+                               count=P(axis)),
+                check_vma=False,
+            )(o_p, d_p, verts_r, tris_flat)
+            ht = hr.t[:npx]
+            better = ht < t
+            t = jnp.minimum(t, ht)
+            tri = jnp.where(better, res_slots[
+                jnp.clip(hr.tri[:npx], 0, n_res - 1)], tri)
+            u_i = jnp.where(better, hr.uv[:npx, 0], u_i)
+            v_i = jnp.where(better, hr.uv[:npx, 1], v_i)
+            cnt = cnt + hr.count[:npx]
+        return t, tri, u_i, v_i, cnt
+
+    return jax.jit(run)
+
+
+def sharded_image_cast(mesh: Mesh, grid, axis: str = "points") -> Hits:
+    """Screen-space pinhole casting with each occupancy bucket's tile list
+    sharded over ``axis`` (scene + table replicated; a pinhole image is
+    embarrassingly parallel over pixel tiles). One fused dispatch per frame
+    (program cached per mesh/camera shape); eye-straddling residual
+    triangles are merged with the same brute pass as the single-device
+    ``ops.raygrid.image_cast`` (asserted equal to it, residuals included)."""
+    import jax.numpy as jnp
+
+    n_dev = int(np.prod(mesh.devices.shape))
+    rid = np.asarray(grid.residual)
+    rid = rid[rid >= 0]
+    ids_list, rows_list = [], []
     for cap, ids, rows in grid.buckets:
         pad = (-ids.shape[0]) % n_dev
-        ids_p = jnp.pad(ids, (0, pad), constant_values=-1)
-        rows_p = jnp.pad(rows, ((0, pad), (0, 0)))
-        table = grid.tri_of_slot[:, :cap]
-
-        def local(ids_l, rows_l, tab, v0, e1, e2, valid):
-            # one block per shard: the local tile list is already bounded
-            return _image_cast_tiles(
-                ids_l, grid.eye, grid.right, grid.true_up, grid.fwd,
-                grid.half, grid.aspect, grid.width, grid.height, tp,
-                tab, v0, e1, e2, valid,
-                tiles_per_block=ids_l.shape[0],
-                rows_aligned=rows_l, packed_cells=True,
-            )
-
-        fn = shard_map(
-            local, mesh=mesh,
-            in_specs=(P(axis), P(axis), P(), P(), P(), P(), P()),
-            out_specs=(P(axis),) * 5,
-            check_vma=False,
-        )
-        ids_sh = jax.device_put(ids_p, NamedSharding(mesh, P(axis)))
-        rows_sh = jax.device_put(rows_p, NamedSharding(mesh, P(axis)))
-        t_, tri_, u_, v_, cnt_ = jax.jit(fn)(
-            ids_sh, rows_sh, table, grid.v0, grid.e1, grid.e2, grid.valid)
-        row = jnp.where(ids_p >= 0, ids_p, ntiles)
-        t_all = t_all.at[row].set(t_, mode="drop")
-        tri_all = tri_all.at[row].set(tri_, mode="drop")
-        u_all = u_all.at[row].set(u_, mode="drop")
-        v_all = v_all.at[row].set(v_, mode="drop")
-        cnt_all = cnt_all.at[row].set(cnt_, mode="drop")
-
-    def to_image(flat):
-        img = flat[:ntiles].reshape(ntx, nty, tp, tp)
-        img = jnp.transpose(img, (1, 2, 0, 3))
-        img = img.reshape(nty * tp, ntx * tp)
-        return img[: grid.height, : grid.width].reshape(-1)
-
-    t = to_image(t_all)
-    tri = to_image(tri_all)
-    uv = jnp.stack([to_image(u_all), to_image(v_all)], 1)
-    cnt = to_image(cnt_all)
-    return Hits(t=t, tri=tri, uv=uv, count=cnt)
+        ids_list.append(jax.device_put(
+            jnp.pad(ids, (0, pad), constant_values=-1),
+            NamedSharding(mesh, P(axis))))
+        rows_list.append(jax.device_put(
+            jnp.pad(rows, ((0, pad), (0, 0))),
+            NamedSharding(mesh, P(axis))))
+    caps = tuple(int(c) for c, _, _ in grid.buckets)
+    fn = _sharded_image_fn(
+        mesh, axis, caps, tuple(a.shape[0] for a in ids_list),
+        float(grid.half), float(grid.aspect), int(grid.width),
+        int(grid.height), int(grid.tile_px), int(len(rid)))
+    res_slots = jnp.asarray(rid.astype(np.int32)) if len(rid) else \
+        jnp.zeros(0, jnp.int32)
+    t, tri, u_i, v_i, cnt = fn(
+        tuple(ids_list), tuple(rows_list), grid.eye, grid.right,
+        grid.true_up, grid.fwd, grid.tri_of_slot, grid.v0, grid.e1,
+        grid.e2, grid.valid, res_slots)
+    return Hits(t=t, tri=tri, uv=jnp.stack([u_i, v_i], 1), count=cnt)

