@@ -311,7 +311,7 @@ def _region_grow_push(
         kt *= 2
     if kt > kt_max:
         return None
-    t_idx, _, over = build_transpose_ell(idx_m, edge.astype(jnp.float32), kt)
+    t_idx, _, over = build_transpose_ell(idx_m, edge.astype(jnp.float32), kt=kt)
     if bool(over):  # cannot happen with kt >= deg_max; guard anyway
         return None
 

@@ -278,6 +278,7 @@ def sort_spill_transpose(s_i: Array, s_j: Array, s_w: Array, n: int):
     return s_i[order], key[order], s_w[order]
 
 
+@partial(jax.jit, static_argnames=("kt",))
 def build_transpose_ell(
     nbr_idx: Array, w: Array, kt: int
 ) -> tuple[Array, Array, Array]:
@@ -285,7 +286,13 @@ def build_transpose_ell(
     in-edges. One flat sort + one scatter per build. Returns
     ``(t_idx, t_w, overflow)`` — ``overflow`` is a scalar bool flagging any
     in-degree above ``kt`` (then the ELL is lossy and the caller must route
-    Lᵀ matvecs through the exact scatter path instead)."""
+    Lᵀ matvecs through the exact scatter path instead).
+
+    Jitted with static ``kt`` (pass it BY KEYWORD): called eagerly at the
+    10M-pt plot scale (the push path's [1.53M, 16] transpose) every op in
+    the body became its own remote-compiled program on axon TPUs — ~180
+    tunnel round trips that wedged the r5 bench cold pass for 45+ minutes.
+    One fused program compiles in seconds."""
     n, k = nbr_idx.shape
     src = jax.lax.broadcasted_iota(jnp.int32, (n, k), 0).reshape(-1)
     dst = jnp.where(nbr_idx >= 0, nbr_idx, n).reshape(-1)
@@ -294,26 +301,22 @@ def build_transpose_ell(
     sd = dst[order]
     ss = src[order]
     sw = wf[order]
-    nk = n * k
-    iota = jnp.arange(nk, dtype=jnp.int32)
-    first = jnp.concatenate([jnp.array([True]), sd[1:] != sd[:-1]])
-    run_start = jax.lax.associative_scan(
-        jnp.maximum, jnp.where(first, iota, -1)
-    )
-    pos = iota - run_start  # position within the in-edge run of each dst
-    keep = (sd < n) & (pos < kt)
-    overflow = jnp.any((sd < n) & (pos >= kt))
-    row = jnp.where(keep, sd, n)
-    slot = jnp.where(keep, pos, 0)
-    # flattened destination: 2-component scatter indices get stacked into
-    # s32[nk, 2] and the TPU layout pads 2 -> 128 (see build_banded)
-    flat = row * kt + slot
-    t_idx = jnp.full((n + 1) * kt, -1, jnp.int32).at[flat].set(
-        ss, mode="drop"
-    )[: n * kt].reshape(n, kt)
-    t_w = jnp.zeros((n + 1) * kt).at[flat].set(
-        sw, mode="drop"
-    )[: n * kt].reshape(n, kt)
+    # Gather-based assembly: each destination row's in-edges are the
+    # contiguous run [starts[i], ends[i]) of the dst-sorted edge list, so
+    # the [n, kt] ELL is a plain gather at starts[i] + j. The previous
+    # scatter form (24.5M random-ish .at[].set at the 10M-plot scale) plus
+    # a 24.5M associative_scan compiled/ran for many minutes on TPU —
+    # searchsorted lowers to ~log2(nk) rounds of gather/compare and the
+    # gather vectorizes.
+    rows = jnp.arange(n, dtype=sd.dtype)
+    starts = jnp.searchsorted(sd, rows, side="left")
+    ends = jnp.searchsorted(sd, rows, side="right")
+    overflow = jnp.any(ends - starts > kt)
+    take = starts[:, None] + jnp.arange(kt, dtype=starts.dtype)[None, :]
+    valid = take < ends[:, None]
+    safe = jnp.minimum(take, sd.shape[0] - 1)
+    t_idx = jnp.where(valid, ss[safe], -1)
+    t_w = jnp.where(valid, sw[safe], 0.0)
     return t_idx, t_w, overflow
 
 

@@ -196,7 +196,7 @@ def test_transpose_ell_overflow_falls_back_to_exact(rng):
         w[i, :len(nbrs)] = rng.uniform(0.1, 1.0, len(nbrs))
     deg = w.sum(1)
     kt = 8
-    t_idx, t_w, overflow = build_transpose_ell(jnp.asarray(idx), jnp.asarray(w), kt)
+    t_idx, t_w, overflow = build_transpose_ell(jnp.asarray(idx), jnp.asarray(w), kt=kt)
     assert bool(overflow)
     L = ELLLaplacian(jnp.asarray(idx), jnp.asarray(w), jnp.asarray(deg),
                      jnp.ones(n), t_idx=t_idx, t_w=t_w, t_overflow=overflow)
@@ -205,7 +205,7 @@ def test_transpose_ell_overflow_falls_back_to_exact(rng):
     np.testing.assert_allclose(np.asarray(laplacian_rmatvec(L, jnp.asarray(x))),
                                A.T @ x, rtol=1e-4, atol=1e-5)
     # and the no-overflow case still takes the gather path losslessly
-    t_idx2, t_w2, ov2 = build_transpose_ell(jnp.asarray(idx), jnp.asarray(w), n)
+    t_idx2, t_w2, ov2 = build_transpose_ell(jnp.asarray(idx), jnp.asarray(w), kt=n)
     assert not bool(ov2)
     L2 = L._replace(t_idx=t_idx2, t_w=t_w2, t_overflow=ov2)
     np.testing.assert_allclose(np.asarray(laplacian_rmatvec(L2, jnp.asarray(x))),
