@@ -24,6 +24,9 @@ from __future__ import annotations
 
 
 
+import os
+import sys
+import time
 from functools import partial
 from typing import NamedTuple
 
@@ -515,6 +518,22 @@ def _extract_skeleton_two_level(
     """Coarse→fine contraction (see ``extract_skeleton_batch`` docstring)."""
     import dataclasses
 
+    # PYQSM_PROF_CONTRACT=1: per-phase wall timing on stderr. Each probe
+    # forces a host transfer (block_until_ready returns early on tunneled
+    # devices), so leave it off in production — the syncs serialize phases.
+    _prof_on = bool(os.environ.get("PYQSM_PROF_CONTRACT"))
+    _prof_t = [time.perf_counter()] if _prof_on else None
+
+    def _prof(tag: str, *sync) -> None:
+        if not _prof_on:
+            return
+        for s in sync:
+            jax.block_until_ready(s)
+        now = time.perf_counter()
+        print(f"# contract2 {tag:18s} {now - _prof_t[0]:7.2f}s",
+              file=sys.stderr, flush=True)
+        _prof_t[0] = now
+
     t = points.shape[0]
     pad = 0
     if mesh is not None:
@@ -546,11 +565,13 @@ def _extract_skeleton_two_level(
         points[:, ::stride], masks[:, ::stride], cfg_fixed,
         cg_iters=cg_iters, mesh=None, two_level=False, _morton=False,
         cg_iters_first=cg_iters_first)
+    _prof("coarse", coarse.contracted)
 
     # 2. init at ORIGINAL fine resolution (masses anchor the termination)
     center, obb_ax, half, L0, m0, m0_mean, wl0, wh0 = _contract_init_batch(
         points, masks, cfg.n_neighbors, cfg.moll, contraction,
         cfg.init_attraction, banded=banded)
+    _prof("fine_init", L0.nbr_idx)
     tb = points.shape[0]
     live_tree = jnp.any(masks, axis=1)
     ratio0 = jnp.where(live_tree, jnp.ones(tb, points.dtype), 0.0)
@@ -575,10 +596,12 @@ def _extract_skeleton_two_level(
         max_attraction=cfg.max_attraction,
         termination_ratio=termination, cg_iters=cg_iters,
         banded=first_banded)
+    _prof("first_step", first)
 
     # 4. transfer the coarse displacement field to the full cloud
     fine_init = _coarse_transfer(points, masks, points[:, ::stride],
                                  masks[:, ::stride], coarse.total_shift)
+    _prof("transfer", fine_init)
 
     # 5. polish at full resolution, continuing the coarse weight schedule
     k = coarse.iterations.astype(points.dtype)
@@ -591,6 +614,7 @@ def _extract_skeleton_two_level(
     m_mean = jnp.sum(jnp.where(masks, m_cur, 0.0), axis=1) / jnp.maximum(
         jnp.sum(masks, axis=1), 1)
     ratio = jnp.where(live_tree, m_mean / jnp.maximum(m0_mean, 1e-30), 0.0)
+    _prof("polish_init", ratio)
     pts = fine_init
     shift = jnp.where(masks[..., None], points - fine_init, 0.0)
     it = jnp.maximum(coarse.iterations, 1)  # >0: first_shift stays frozen
@@ -620,6 +644,7 @@ def _extract_skeleton_two_level(
             termination_ratio=termination, cg_iters=cg_iters,
             banded=banded_now, active=active,
         )
+        _prof(f"polish[{int(np.sum(np.asarray(active)))}on]", ratio)
     out = _unpermute_result(SkeletonResult(pts, shift, first, it, ratio), cum)
     if pad:
         out = jax.tree.map(lambda x: x[:t], out)

@@ -825,7 +825,7 @@ def _enumerate_visits(
 
         rt = o.shape[0]
         state = dict(
-            c=c0, t_cur=t_enter, alive=alive0, k=skip_of(c0, alive0),
+            c=c0, t_cur=t_enter, alive=alive0,
             nrec=jnp.zeros(rt, jnp.int32),
             vis=jnp.full((rt, visits), -1, jnp.int32),
             t_cov=jnp.where(alive0, t_enter, ts),
@@ -834,66 +834,47 @@ def _enumerate_visits(
 
         def cond(s):
             return jnp.any(s["alive"] & (s["nrec"] < visits)) & (
-                s["it"] < max_steps)
+                s["it"] < max_steps + visits)
 
         def body(s):
-            # rays whose visit quota is full FREEZE in place (their c/t_cur
-            # is the resume state for the next round); only `act` rays move
-            act0 = s["alive"] & (s["nrec"] < visits)
+            # ONE fused advance per iteration (record-if-occupied + step or
+            # skip-jump) — the former record-loop-around-skip-loop nesting
+            # ran ~3x the sequential while iterations for the same walk
+            # (4.0 s -> the dominant wavefront cost at 1M rays; per-ray
+            # semantics identical). Rays with a full visit quota FREEZE
+            # (their c/t_cur is the next round's resume state).
+            act = s["alive"] & (s["nrec"] < visits)
+            k = skip_of(s["c"], act)
+            occ = act & (k == 0)
 
-            # skip phase: march every active ray to its next occupied cell
-            def skip_cond(ss):
-                return jnp.any(ss["act"] & (ss["k"] > 0)) & (
-                    ss["jt"] < max_steps)
-
-            def skip_body(ss):
-                c, t_cur, act, k = ss["c"], ss["t_cur"], ss["act"], ss["k"]
-                move = act & (k > 0)
-                jump = move & (k >= 2)
-                tau = (k - 1).astype(jnp.float32) * min_td
-                t_jump = t_cur + tau
-                pj = o + t_jump[:, None] * d
-                c_jump = jnp.clip(
-                    jnp.floor((pj - lo[None, :]) / cell).astype(jnp.int32),
-                    0, dims[None, :] - 1)
-                c_step, t_exit, ok_step = dda_step(c, move & ~jump)
-                c_new = jnp.where(jump[:, None], c_jump, c_step)
-                t_new = jnp.where(jump, t_jump,
-                                  jnp.where(move, t_exit, t_cur))
-                dead = (jump & (t_new >= t_exit_grid)) | ~ok_step
-                act_new = act & ~dead
-                return dict(
-                    c=c_new, t_cur=t_new, act=act_new,
-                    k=skip_of(c_new, act_new), jt=ss["jt"] + 1,
-                )
-
-            sk = jax.lax.while_loop(
-                skip_cond, skip_body,
-                dict(c=s["c"], t_cur=s["t_cur"], act=act0,
-                     k=jnp.where(act0, s["k"], 0), jt=jnp.int32(0)),
-            )
-            c = sk["c"]
-            died_skip = act0 & ~sk["act"]
-            alive = s["alive"] & ~died_skip
-
-            # record the occupied cell reached by each still-active ray
-            rec = sk["act"]
-            cid = jnp.where(rec, cell_id(c), -1)
+            # record the occupied cell (slot nrec) for rays sitting in one
+            cid = jnp.where(occ, cell_id(s["c"]), -1)
             slot = jax.lax.broadcasted_iota(jnp.int32, (rt, visits), 1)
             vis = jnp.where(
-                rec[:, None] & (slot == s["nrec"][:, None]),
+                occ[:, None] & (slot == s["nrec"][:, None]),
                 cid[:, None], s["vis"])
-            nrec = s["nrec"] + rec.astype(jnp.int32)
+            nrec = s["nrec"] + occ.astype(jnp.int32)
 
-            # advance past the recorded cell; its exit closes the covered
-            # march interval. Frozen rays keep c/t_cur untouched.
-            c_new, t_exit, ok_step = dda_step(c, rec)
-            t_cov = jnp.where(rec, t_exit, s["t_cov"])
-            alive = alive & ok_step
-            act_next = alive & rec
+            # advance: verified-empty cells (k>=2) jump k-1 min-cell-widths;
+            # occupied and frontier (k<=1) cells take one DDA step
+            jump = act & (k >= 2)
+            tau = (k - 1).astype(jnp.float32) * min_td
+            t_jump = s["t_cur"] + tau
+            pj = o + t_jump[:, None] * d
+            c_jump = jnp.clip(
+                jnp.floor((pj - lo[None, :]) / cell).astype(jnp.int32),
+                0, dims[None, :] - 1)
+            c_step, t_exit, ok_step = dda_step(s["c"], act & ~jump)
+            c_new = jnp.where(jump[:, None], c_jump, c_step)
+            t_new = jnp.where(jump, t_jump,
+                              jnp.where(act, t_exit, s["t_cur"]))
+            # the recorded cell's exit closes the covered march interval
+            t_cov = jnp.where(occ, t_exit, s["t_cov"])
+            dead = (jump & (t_jump >= t_exit_grid)) | ~ok_step
+            alive = s["alive"] & ~dead
             return dict(
-                c=c_new, t_cur=jnp.where(rec, t_exit, sk["t_cur"]),
-                alive=alive, k=skip_of(c_new, act_next),
+                c=jnp.where(act[:, None], c_new, s["c"]),
+                t_cur=t_new, alive=alive,
                 nrec=nrec, vis=vis, t_cov=t_cov, it=s["it"] + 1,
             )
 
@@ -903,10 +884,15 @@ def _enumerate_visits(
         return s["vis"], t_cov, s["alive"], s["c"]
 
     nt = o_all.shape[0] // ray_tile
+    # tiles are vmapped in groups of 4: the fused walk is sequential-step
+    # bound (~max_steps iterations per tile), so batching tiles divides the
+    # sequential depth while the per-tile state (~4 MB at 65536 rays) stays
+    # VMEM-resident
     vis_t, cov_t, more_t, c_t = jax.lax.map(
         tile, (o_all.reshape(nt, ray_tile, 3), d_all.reshape(nt, ray_tile, 3),
                t_all.reshape(nt, ray_tile), a_all.reshape(nt, ray_tile),
-               c_all.reshape(nt, ray_tile, 3)))
+               c_all.reshape(nt, ray_tile, 3)),
+        batch_size=min(4, nt))
     return (vis_t.reshape(-1, visits)[:r], cov_t.reshape(-1)[:r],
             more_t.reshape(-1)[:r], c_t.reshape(-1, 3)[:r])
 
@@ -1165,10 +1151,12 @@ def grid_cast_wavefront(
             _sort_pairs(jnp.where(alive[:, None], vis, -1), block)
         n_blk = int(n_blk_d)  # host sync: exact live block count this round
         if n_blk > 0:
-            # 4x buckets bound the compile count to ~6 variants per bundle
+            # 2x buckets bound the compile count to ~10 variants per bundle;
+            # 4x buckets overshot the dominant first round 3.4x (65536-block
+            # dispatch for 19333 live blocks at 1M rays)
             nb_cap = 256
             while nb_cap < n_blk:
-                nb_cap *= 4
+                nb_cap *= 2
             t, tri, u, v, cnt = _mt_blocks(
                 o_c, d_c, skeys, srays, blk_id, pos_in_blk, live_pair,
                 inv_order, grid.tri_of_slot, grid.packed,
@@ -1231,8 +1219,11 @@ def grid_cast_wavefront(
             return tmin, tri, ub, vb, cnt
 
         ntr = o_p.shape[0] // rt
+        # batch_size: an UNbatched map over 123 tiles at 1M rays ran 123
+        # serial [8192, nr] dispatches — ~7.5 s of the 15 s steady call
         tm, trm, um, vm, cm = jax.lax.map(
-            rtile, (o_p.reshape(ntr, rt, 3), d_p.reshape(ntr, rt, 3)))
+            rtile, (o_p.reshape(ntr, rt, 3), d_p.reshape(ntr, rt, 3)),
+            batch_size=min(16, ntr))
         tm = tm.reshape(-1)[:r]
         trm = trm.reshape(-1)[:r]
         um = um.reshape(-1)[:r]
