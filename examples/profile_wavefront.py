@@ -25,7 +25,7 @@ def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--n-points", type=int, default=10_000_000)
     ap.add_argument("--rays", type=int, default=1_000_000)
-    ap.add_argument("--visits", type=int, default=8)
+    ap.add_argument("--visits", type=int, default=4)
     ap.add_argument("--triangles", type=int, default=220_000)
     args = ap.parse_args()
 
@@ -39,7 +39,7 @@ def main() -> int:
         jax.config.update("jax_platforms", "cpu")
     import jax.numpy as jnp
 
-    from pyqsm_tpu.ops.grid3d import build_grid3d, grid_cast_wavefront
+    from pyqsm_tpu.ops.grid3d import build_grid3d_two_level, two_level_cast
     from pyqsm_tpu.ops.voxelmesh import poisson_like_mesh, simplify_mesh
 
     print(f"# backend {jax.default_backend()}", flush=True)
@@ -52,10 +52,11 @@ def main() -> int:
           f"(raw {int(raw.n_triangles())})", flush=True)
 
     t0 = time.perf_counter()
-    grid = build_grid3d(scene.vertices, scene.triangles)
+    grid = build_grid3d_two_level(scene.vertices, scene.triangles)
+    g0 = getattr(grid, "primary", grid)
     print(f"grid_build_s      {time.perf_counter() - t0:8.2f} "
-          f"(dims {grid.nx}x{grid.ny}x{grid.nz}, occ {grid.n_occupied})",
-          flush=True)
+          f"(dims {g0.nx}x{g0.ny}x{g0.nz}, occ {g0.n_occupied}, "
+          f"two_level={hasattr(grid, 'primary')})", flush=True)
 
     rngr = np.random.default_rng(0)
     vtx = np.asarray(scene.vertices)
@@ -66,11 +67,13 @@ def main() -> int:
     d_b /= np.linalg.norm(d_b, axis=1, keepdims=True)
     d_b = jnp.asarray(d_b)
 
-    for tag in ("cold", "steady"):
+    import jax.numpy as _jnp
+
+    for tag in ("cold", "steady", "steady2"):
         t0 = time.perf_counter()
-        h = grid_cast_wavefront(grid, o_b, d_b, visits=args.visits,
-                                debug=(tag == "steady"))
-        nhit = int(np.isfinite(np.asarray(h.t)).sum())
+        h = two_level_cast(grid, o_b, d_b, wavefront=True,
+                           visits=args.visits, debug=(tag != "cold"))
+        nhit = int(_jnp.sum(_jnp.isfinite(h.t)))  # 4-byte honest sync
         dt = time.perf_counter() - t0
         print(f"wavefront[{tag}]   {dt:8.2f}  "
               f"{args.rays / dt / 1e6:6.2f} Mrays/s  hits={nhit}", flush=True)

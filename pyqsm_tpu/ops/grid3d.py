@@ -341,19 +341,78 @@ def merge_hits(a, b):
     )
 
 
+@jax.jit
+def _aabb_mask(origins: Array, dirs: Array, lo: Array, hi: Array) -> Array:
+    """Conservative slab test: True for rays whose forward segment touches
+    the [lo, hi] box (epsilon-padded)."""
+    eps = 1e-4 * jnp.max(hi - lo)
+    lo = lo - eps
+    hi = hi + eps
+    inv = jnp.where(dirs != 0, 1.0 / jnp.where(dirs == 0, 1.0, dirs), jnp.inf)
+    t0 = (lo[None, :] - origins) * inv
+    t1 = (hi[None, :] - origins) * inv
+    inside = (origins >= lo[None, :]) & (origins <= hi[None, :])
+    tmin = jnp.where(dirs != 0, jnp.minimum(t0, t1),
+                     jnp.where(inside, -jnp.inf, jnp.inf))
+    tmax = jnp.where(dirs != 0, jnp.maximum(t0, t1),
+                     jnp.where(inside, jnp.inf, -jnp.inf))
+    return jnp.maximum(jnp.max(tmin, 1), 0.0) <= jnp.min(tmax, 1)
+
+
 def two_level_cast(grid, origins: Array, dirs: Array, wavefront: bool = False,
                    **cast_kw):
     """Cast against a :class:`Grid3D` or :class:`TwoLevelGrid` uniformly
     (``grid_cast`` semantics; ``wavefront=True`` routes both levels through
-    ``grid_cast_wavefront``)."""
+    ``grid_cast_wavefront``).
+
+    The sub cast is CULLED to rays whose segment touches the sub grid's
+    AABB: the spill region is tiny by construction, and walking the whole
+    bundle through it cost ~0.9 s of the 3.4 s call at 1M rays (measured on
+    the bench scene — 2586 dead blocks for 396 triangles)."""
     caster = grid_cast_wavefront if wavefront else grid_cast
     if isinstance(grid, Grid3D):
         return caster(grid, origins, dirs, **cast_kw)
     a = caster(grid.primary, origins, dirs, **cast_kw)
-    b = caster(grid.sub, origins, dirs, **cast_kw)
-    # sub hits carry compact ids — map back to global before the merge
-    b = b._replace(tri=jnp.where(
-        b.tri >= 0, grid.sub_tri_ids[jnp.maximum(b.tri, 0)], b.tri))
+
+    sub = grid.sub
+    lo = sub.lo
+    hi = lo + jnp.array([sub.nx, sub.ny, sub.nz], jnp.float32) * sub.cell
+    touch = _aabb_mask(jnp.asarray(origins, jnp.float32),
+                       jnp.asarray(dirs, jnp.float32), lo, hi)
+    r = origins.shape[0]
+    m = int(jnp.sum(touch))  # host sync: cull count sizes the sub bundle
+    if m == 0:
+        return a
+    if m >= r // 2:
+        b = caster(sub, origins, dirs, **cast_kw)
+        b = b._replace(tri=jnp.where(
+            b.tri >= 0, grid.sub_tri_ids[jnp.maximum(b.tri, 0)], b.tri))
+        return merge_hits(a, b)
+    from pyqsm_tpu.ops.sampling import nonzero_rows
+
+    mc = 256
+    while mc < m:
+        mc *= 4  # pow4 capacity buckets bound the compile count
+    sel = nonzero_rows(touch, mc)
+    safe = jnp.maximum(sel, 0)
+    live = sel >= 0
+    # padding rows alias ray 0 but their results are dropped on scatter
+    bs = caster(sub, origins[safe], dirs[safe], **cast_kw)
+    row = jnp.where(live, safe, r)
+    t_b = jnp.full(r + 1, jnp.inf).at[row].set(
+        jnp.where(live, bs.t, jnp.inf), mode="drop")[:r]
+    tri_b = jnp.full(r + 1, -1, jnp.int32).at[row].set(
+        jnp.where(live, bs.tri, -1), mode="drop")[:r]
+    uv_b = jnp.zeros((r + 1, 2)).at[row].set(
+        jnp.where(live[:, None], bs.uv, 0.0), mode="drop")[:r]
+    cnt_b = jnp.zeros(r + 1, jnp.int32).at[row].set(
+        jnp.where(live, bs.count, 0), mode="drop")[:r]
+    from pyqsm_tpu.ops.raytrace import Hits
+
+    b = Hits(t=t_b,
+             tri=jnp.where(tri_b >= 0,
+                           grid.sub_tri_ids[jnp.maximum(tri_b, 0)], tri_b),
+             uv=uv_b, count=cnt_b)
     return merge_hits(a, b)
 
 
@@ -744,21 +803,34 @@ def grid_cast(
 
 @partial(jax.jit, static_argnames=(
     "cell", "nx", "ny", "nz", "ray_tile", "visits", "max_steps",
-    "first_round"))
+    "first_round", "it_budget"))
 def _enumerate_visits(
     origins: Array, dirs: Array, t_start: Array, alive_in: Array,
     c_start: Array,
     lo: Array, cell: float, nx: int, ny: int, nz: int, skip_tab: Array,
     ray_tile: int, visits: int, max_steps: int, first_round: bool = True,
-) -> tuple[Array, Array, Array, Array]:
+    it_budget: int | None = None,
+) -> tuple[Array, Array, Array, Array, Array]:
     """March each ray from ``t_start`` and record up to ``visits`` occupied
     cell ids. Returns (visit_cids [R, V] i32 (-1 pad), t_covered [R] march
     parameter at the end of the recorded segment, more [R] bool — ray still
-    inside the grid with cells left to visit, c_next [R, 3] resume cell).
+    inside the grid with cells left to visit, c_next [R, 3] resume cell,
+    t_next [R] resume march parameter).
 
     On resume rounds (``first_round=False``) the walk continues from the
     carried ``c_start`` cell — reconstructing the cell from the fp position
-    can land back in the previous cell and double-count its crossings."""
+    can land back in the previous cell and double-count its crossings.
+    ``t_start`` must be the carried ``t_next`` (the walk's true position),
+    NOT ``t_covered``: a budget-frozen ray sits in an empty cell AHEAD of
+    its last recorded one, and resuming from the covered t would jump it
+    backward into already-counted cells.
+
+    ``it_budget`` caps the fused-advance count per call: the while loop's
+    sequential depth is the wall at bundle scale (~2.7 ms per iteration of
+    launch overhead regardless of width), and the longest ray otherwise
+    forces EVERY ray's round to its worst-case march (max_steps+visits
+    iterations). Budget-frozen rays resume next round via the carried
+    (c, t) state — per-ray semantics identical, oracle-tested."""
     r = origins.shape[0]
     dims = jnp.array([nx, ny, nz], jnp.int32)
     hi = lo + dims.astype(jnp.float32) * cell
@@ -832,9 +904,12 @@ def _enumerate_visits(
             it=jnp.int32(0),
         )
 
+        it_cap = (max_steps + visits) if it_budget is None \
+            else min(it_budget, max_steps + visits)
+
         def cond(s):
             return jnp.any(s["alive"] & (s["nrec"] < visits)) & (
-                s["it"] < max_steps + visits)
+                s["it"] < it_cap)
 
         def body(s):
             # ONE fused advance per iteration (record-if-occupied + step or
@@ -881,20 +956,22 @@ def _enumerate_visits(
         s = jax.lax.while_loop(cond, body, state)
         # rays that exited the grid are fully covered
         t_cov = jnp.where(s["alive"], s["t_cov"], jnp.inf)
-        return s["vis"], t_cov, s["alive"], s["c"]
+        return s["vis"], t_cov, s["alive"], s["c"], s["t_cur"]
 
     nt = o_all.shape[0] // ray_tile
-    # tiles are vmapped in groups of 4: the fused walk is sequential-step
-    # bound (~max_steps iterations per tile), so batching tiles divides the
-    # sequential depth while the per-tile state (~4 MB at 65536 rays) stays
-    # VMEM-resident
-    vis_t, cov_t, more_t, c_t = jax.lax.map(
+    # ALL tiles run in one vmapped while_loop group: per-iteration cost is
+    # dominated by fixed launch/sequencing overhead (~2.7 ms measured at any
+    # width on v5e), so sequential depth — groups × iterations — is what
+    # matters, not per-iteration state size (~100 MB at 1M rays streams in
+    # ~0.3 ms of HBM time)
+    vis_t, cov_t, more_t, c_t, tn_t = jax.lax.map(
         tile, (o_all.reshape(nt, ray_tile, 3), d_all.reshape(nt, ray_tile, 3),
                t_all.reshape(nt, ray_tile), a_all.reshape(nt, ray_tile),
                c_all.reshape(nt, ray_tile, 3)),
-        batch_size=min(4, nt))
+        batch_size=min(16, nt))
     return (vis_t.reshape(-1, visits)[:r], cov_t.reshape(-1)[:r],
-            more_t.reshape(-1)[:r], c_t.reshape(-1, 3)[:r])
+            more_t.reshape(-1)[:r], c_t.reshape(-1, 3)[:r],
+            tn_t.reshape(-1)[:r])
 
 
 @partial(jax.jit, static_argnames=("block",))
@@ -943,7 +1020,7 @@ def _mt_blocks(
     live_pair: Array, inv_order: Array,
     tri_of_slot: Array, packed: Array,
     lo: Array, cell_size: Array, dims: Array,
-    block: int, nb_cap: int, batch: int = 32,
+    block: int, nb_cap: int, batch: int = 64,
     cell_rank: Array | None = None, cell_rows: Array | None = None,
     packed_cells: bool = False,
 ) -> tuple[Array, Array, Array, Array, Array]:
@@ -1086,11 +1163,12 @@ def grid_cast_wavefront(
     grid: Grid3D,
     origins: Array,
     dirs: Array,
-    visits: int = 8,
+    visits: int = 4,
     block: int = 256,
     count_all: bool = False,
     ray_tile: int = 65536,
     max_rounds: int | None = None,
+    it_budget: int = 32,
     debug: bool = False,
 ) -> Hits:
     """High-throughput exact casting for ARBITRARY ray bundles (the
@@ -1100,10 +1178,15 @@ def grid_cast_wavefront(
     header). Semantics identical to ``grid_cast``; oracle-tested against it.
 
     ``visits``: occupied cells covered per round; rays needing more resume
-    in later rounds. Per round the MT dispatch is sized to the EXACT live
-    block count, and the surviving frontier is compacted once it shrinks
-    (4x size buckets bound the compile count). ``debug`` prints per-round
-    frontier/block/timing stats.
+    in later rounds (compacted rounds escalate to 8x this so the tail
+    finishes in 1-2 rounds instead of paying two host syncs per tiny
+    round). ``it_budget``: fused-advance cap per round — the walk's
+    sequential depth is launch-overhead bound, so the longest ray must not
+    set every ray's iteration count; budget-frozen rays resume exactly via
+    carried (cell, t) state. Per round the MT dispatch is sized to the
+    EXACT live block count, and the surviving frontier is compacted once
+    it shrinks (4x size buckets bound the compile count). ``debug`` prints
+    per-round frontier/block/timing stats.
 
     Host-sync contract: this is a HOST-STEPPED loop — every round performs
     two blocking device→host syncs (live block count, live frontier count)
@@ -1120,7 +1203,11 @@ def grid_cast_wavefront(
     dims = jnp.array([grid.nx, grid.ny, grid.nz], jnp.int32)
     max_steps = grid.nx + grid.ny + grid.nz + 4
     if max_rounds is None:
-        max_rounds = -(-max_steps // visits) + 1
+        # worst-case rounds under BOTH limits: each round advances a live
+        # ray by >= it_budget cells of travel (a jump covers >= 1 cell) or
+        # retires it; the visits quota binds only when every advance lands
+        # in an occupied cell
+        max_rounds = -(-max_steps // visits) + -(-max_steps // it_budget) + 2
 
     best_t = jnp.full(r, jnp.inf)
     best_tri = jnp.full(r, -1, jnp.int32)
@@ -1135,18 +1222,35 @@ def grid_cast_wavefront(
     # bundle (most rays retire on their first occupied cell)
     o_c, d_c = o, d
     ridx = jnp.arange(r, dtype=jnp.int32)
-    t_cur = jnp.zeros(r, jnp.float32)
+    t_walk = jnp.zeros(r, jnp.float32)
     alive = jnp.ones(r, bool)
     c_resume = jnp.zeros((r, 3), jnp.int32)
     rc = r
 
     for rnd in range(max_rounds):
         t_rnd = _time.perf_counter() if debug else 0.0
-        vis, t_cov, more, c_resume = _enumerate_visits(
-            o_c, d_c, t_cur, alive, c_resume,
+        # resume rounds escalate: survivors are the deep-traversal minority,
+        # and every extra round costs two host syncs over the tunnel — the
+        # compacted tail gets a quota/budget big enough to finish in ~1
+        # round. Round 0 always runs the caller's schedule (most rays
+        # retire on their first visits; a big round-0 quota just multiplies
+        # the sort/MT pair count by dead slots).
+        if rnd == 0 or rc > 131072:
+            v_rnd, b_rnd = visits, it_budget
+        elif rc > 32768:
+            # a shallow middle tier (2x) left 7340 of 131072 alive and the
+            # follow-up round cost 0.46 s of near-all-cell MT blocks — one
+            # deeper round retires the mid tail outright
+            v_rnd, b_rnd = 4 * visits, 4 * it_budget
+        else:
+            v_rnd = 8 * visits
+            b_rnd = max_steps + v_rnd
+        vis, t_cov, more, c_resume, t_walk = _enumerate_visits(
+            o_c, d_c, t_walk, alive, c_resume,
             grid.lo, grid.cell, grid.nx, grid.ny, grid.nz, grid.skip,
             ray_tile=min(ray_tile, max(256, 1 << (rc - 1).bit_length())),
-            visits=visits, max_steps=max_steps, first_round=(rnd == 0))
+            visits=v_rnd, max_steps=max_steps, first_round=(rnd == 0),
+            it_budget=b_rnd)
         skeys, srays, blk_id, pos_in_blk, live_pair, inv_order, n_blk_d = \
             _sort_pairs(jnp.where(alive[:, None], vis, -1), block)
         n_blk = int(n_blk_d)  # host sync: exact live block count this round
@@ -1172,7 +1276,6 @@ def grid_cast_wavefront(
         best_t, best_tri, best_u, best_v, count, alive = _merge_round(
             best_t, best_tri, best_u, best_v, count, ridx, alive, more,
             t, tri, u, v, cnt, t_cov, count_all=count_all)
-        t_cur = t_cov
         n_alive = int(jnp.sum(alive))  # host sync: frontier size
         if debug:
             print(f"# wavefront rnd={rnd} rc={rc} blocks={n_blk} "
@@ -1189,7 +1292,7 @@ def grid_cast_wavefront(
             sel = nonzero_rows(alive, rc_new)
             safe = jnp.maximum(sel, 0)
             o_c, d_c = o_c[safe], d_c[safe]
-            t_cur = t_cur[safe]
+            t_walk = t_walk[safe]
             c_resume = c_resume[safe]
             ridx = ridx[safe]
             alive = sel >= 0
