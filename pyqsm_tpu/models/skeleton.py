@@ -361,6 +361,7 @@ def extract_skeleton_batch(
     coarse_stride: int = 4,
     _morton: bool = True,
     cg_iters_first: int | None = None,
+    cg_iters_polish: int | None = None,
 ) -> SkeletonResult:
     """Contract a BATCH of trees, HOST-STEPPED: one contraction iteration
     (vmapped solve + Laplacian rebuild) per device dispatch, with the
@@ -399,7 +400,7 @@ def extract_skeleton_batch(
         res = extract_skeleton_batch(
             pts_m, msk_m, cfg, cg_iters=cg_iters, mesh=mesh,
             two_level=two_level, coarse_stride=coarse_stride, _morton=False,
-            cg_iters_first=cg_iters_first)
+            cg_iters_first=cg_iters_first, cg_iters_polish=cg_iters_polish)
         inv = jnp.argsort(perm, axis=1)
         return SkeletonResult(
             jnp.take_along_axis(res.contracted, inv[..., None], axis=1),
@@ -415,7 +416,8 @@ def extract_skeleton_batch(
     if two_level and points.shape[1] >= 8192 * coarse_stride // 2:
         return _extract_skeleton_two_level(
             points, masks, cfg, termination, contraction, cg_iters,
-            mesh=mesh, stride=coarse_stride, cg_iters_first=cg_iters_first)
+            mesh=mesh, stride=coarse_stride, cg_iters_first=cg_iters_first,
+            cg_iters_polish=cg_iters_polish)
     if cg_iters_first is None:
         cg_iters_first = 3 * cg_iters
 
@@ -514,9 +516,23 @@ def _extract_skeleton_two_level(
     points: Array, masks: Array, cfg: SkeletonizeConfig,
     termination: float, contraction: float, cg_iters: int,
     mesh=None, stride: int = 4, cg_iters_first: int | None = None,
+    cg_iters_polish: int | None = None,
 ) -> SkeletonResult:
-    """Coarse→fine contraction (see ``extract_skeleton_batch`` docstring)."""
+    """Coarse→fine contraction (see ``extract_skeleton_batch`` docstring).
+
+    ``cg_iters_polish`` (default ``max(cg_iters // 2, 20)``) caps the PCG
+    budget of the full-resolution POLISH solves and the first_shift step.
+    The radial-accuracy budget is carried by the coarse pass's front-loaded
+    first solve (``cg_iters_first``); polish solves start from the
+    transferred coarse field and refine it, so their truncation error is
+    second-order — the Laplacian-oracle radial bound is the regression
+    gate (``tests/test_laplacian_oracle.py``). At the bench shape the tol
+    exit (3e-4) never fires inside 80 iterations, so the polish wall is
+    linear in this cap (measured 4x ~8 s of the 49 s contraction stage)."""
     import dataclasses
+
+    if cg_iters_polish is None:
+        cg_iters_polish = max(cg_iters // 2, 20)
 
     # PYQSM_PROF_CONTRACT=1: per-phase wall timing on stderr. Each probe
     # forces a host transfer (block_until_ready returns early on tunneled
@@ -594,7 +610,7 @@ def _extract_skeleton_two_level(
         contraction_factor=contraction,
         max_contraction=cfg.max_contraction,
         max_attraction=cfg.max_attraction,
-        termination_ratio=termination, cg_iters=cg_iters,
+        termination_ratio=termination, cg_iters=cg_iters_polish,
         banded=first_banded)
     _prof("first_step", first)
 
@@ -641,7 +657,7 @@ def _extract_skeleton_two_level(
             contraction_factor=contraction,
             max_contraction=cfg.max_contraction,
             max_attraction=cfg.max_attraction,
-            termination_ratio=termination, cg_iters=cg_iters,
+            termination_ratio=termination, cg_iters=cg_iters_polish,
             banded=banded_now, active=active,
         )
         _prof(f"polish[{int(np.sum(np.asarray(active)))}on]", ratio)
