@@ -54,6 +54,43 @@ def synthetic_plot(n_total: int, n_trees: int = 8, seed: int = 0) -> np.ndarray:
     return np.concatenate(trees).astype(np.float32)
 
 
+def synthetic_plot_device(n_total: int, n_trees: int = 8, seed: int = 0):
+    """``synthetic_plot`` generated ON DEVICE (same tree layout and
+    distributions, JAX PRNG): generating on host cost a 120 MB
+    host→device upload whose tunnel variance (20–757 s measured across
+    round-5 runs) dominated the cold pass — the single biggest threat to
+    a deadline-bounded driver run reaching the steady measurement. One
+    small cached program materializes the plot directly in HBM."""
+    import jax
+    import jax.numpy as jnp
+
+    per = n_total // n_trees
+    grid = int(np.ceil(np.sqrt(n_trees)))
+    n_trunk = per // 2
+    n_canopy = per - n_trunk
+
+    @jax.jit
+    def gen():
+        ks = jax.random.split(jax.random.PRNGKey(seed), 4)
+        i = jnp.arange(n_trees)
+        cx = (i % grid) * 8.0
+        cy = (i // grid) * 8.0
+        th = jax.random.uniform(ks[0], (n_trees, n_trunk), minval=0.0,
+                                maxval=2.0 * jnp.pi)
+        z = jax.random.uniform(ks[1], (n_trees, n_trunk), minval=0.0,
+                               maxval=6.0)
+        r = 0.3 + 0.01 * jax.random.normal(ks[2], (n_trees, n_trunk))
+        trunk = jnp.stack([cx[:, None] + r * jnp.cos(th),
+                           cy[:, None] + r * jnp.sin(th), z], -1)
+        center = jnp.stack([cx, cy, jnp.full(n_trees, 7.5)], -1)[:, None, :]
+        canopy = center + jax.random.normal(
+            ks[3], (n_trees, n_canopy, 3)) * jnp.array([1.6, 1.6, 1.0])
+        return jnp.concatenate([trunk, canopy], 1).reshape(-1, 3).astype(
+            jnp.float32)
+
+    return gen()
+
+
 def _progress(msg: str) -> None:
     print(f"# {msg}", file=sys.stderr, flush=True)
 
@@ -231,16 +268,15 @@ def _bench_body(args) -> None:
     from pyqsm_tpu.ops.sampling import compact_rows, voxel_downsample
 
     n = args.n
-    _progress(f"generating {n} points")
-    pts_np = synthetic_plot(n, args.trees)
-    _progress("uploading to device")
-    pts = jnp.asarray(pts_np)
-    pts.block_until_ready()
-    _progress("upload done")
+    _progress(f"generating {n} points on device")
+    pts = synthetic_plot_device(n, args.trees)
+    _ = float(jnp.sum(pts[0]))  # 4-byte honest materialization sync
+    _progress("generation done")
     ARTIFACT.update(n_points=n, backend=backend,
                     scope="process_plot: isolation + skeleton QSM on EVERY "
                           "tree; single chip",
-                    note="upload done; cold pass did not complete")
+                    note="device generation done; cold pass did not "
+                         "complete")
     mask = jnp.ones(n, dtype=bool)
     cfg = Config()
 
