@@ -372,7 +372,14 @@ def two_level_cast(grid, origins: Array, dirs: Array, wavefront: bool = False,
     caster = grid_cast_wavefront if wavefront else grid_cast
     if isinstance(grid, Grid3D):
         return caster(grid, origins, dirs, **cast_kw)
+    import time as _time
+
+    t0 = _time.perf_counter()
     a = caster(grid.primary, origins, dirs, **cast_kw)
+    if cast_kw.get("debug"):
+        print(f"# two_level primary dt={_time.perf_counter() - t0:.3f}s",
+              flush=True)
+        t0 = _time.perf_counter()
 
     sub = grid.sub
     lo = sub.lo
@@ -381,6 +388,10 @@ def two_level_cast(grid, origins: Array, dirs: Array, wavefront: bool = False,
                        jnp.asarray(dirs, jnp.float32), lo, hi)
     r = origins.shape[0]
     m = int(jnp.sum(touch))  # host sync: cull count sizes the sub bundle
+    if cast_kw.get("debug"):
+        print(f"# two_level sub cull m={m}/{r} "
+              f"(sub {sub.nx}x{sub.ny}x{sub.nz} occ {sub.n_occupied})",
+              flush=True)
     if m == 0:
         return a
     if m >= r // 2:
@@ -392,7 +403,9 @@ def two_level_cast(grid, origins: Array, dirs: Array, wavefront: bool = False,
 
     mc = 256
     while mc < m:
-        mc *= 4  # pow4 capacity buckets bound the compile count
+        mc *= 2  # pow2 capacity buckets: the sub-bundle walk costs linear
+        # in the padded capacity, and the cull ratio on real bundles sits
+        # mid-bucket (pow4 overshot up to 4x)
     sel = nonzero_rows(touch, mc)
     safe = jnp.maximum(sel, 0)
     live = sel >= 0
@@ -455,6 +468,24 @@ def _chebyshev_dt(occ3: np.ndarray, max_dist: int = 64) -> np.ndarray:
     return dist
 
 
+def _mt_rows(o, d, rows, ok):
+    """Möller–Trumbore of o/d [RT,3] rays against ``rows`` [RT,C,16]
+    packed v0|e1|e2 triangle rows with ``ok`` [RT,C] candidate validity,
+    via the shared component-unrolled core (``raytrace.mt_components``) —
+    every intermediate is [RT,C], no trailing length-3 buffers.
+    Returns (t [RT,C] inf=miss, u, v)."""
+    from pyqsm_tpu.ops.raytrace import mt_components
+
+    return mt_components(
+        tuple(o[:, a][:, None] for a in range(3)),
+        tuple(d[:, a][:, None] for a in range(3)),
+        tuple(rows[..., a] for a in range(3)),
+        tuple(rows[..., 3 + a] for a in range(3)),
+        tuple(rows[..., 6 + a] for a in range(3)),
+        ok,
+    )
+
+
 def _mt_batch(o, d, slots, packed, alive):
     """Möller–Trumbore of each ray against its own candidate list.
     o/d [RT,3]; slots [RT,C] (-1 pad); ``packed`` [T,16] v0|e1|e2|valid rows
@@ -463,23 +494,8 @@ def _mt_batch(o, d, slots, packed, alive):
     fetch). Returns (t [RT,C], u, v) inf=miss."""
     tid = jnp.maximum(slots, 0)
     rows = packed[tid]  # [RT, C, 16]
-    tv0 = rows[..., 0:3]
-    te1 = rows[..., 3:6]
-    te2 = rows[..., 6:9]
     ok = (slots >= 0) & (rows[..., 9] > 0.5) & alive[:, None]
-    pvec = jnp.cross(d[:, None, :], te2)
-    det = jnp.sum(te1 * pvec, -1)
-    inv = jnp.where(jnp.abs(det) > _EPS, 1.0 / det, 0.0)
-    tvec = o[:, None, :] - tv0
-    u = jnp.sum(tvec * pvec, -1) * inv
-    qvec = jnp.cross(tvec, te1)
-    v = jnp.sum(d[:, None, :] * qvec, -1) * inv
-    tt = jnp.sum(te2 * qvec, -1) * inv
-    hit = (
-        (jnp.abs(det) > _EPS) & (u >= -_EPS) & (v >= -_EPS)
-        & (u + v <= 1.0 + _EPS) & (tt > 1e-6) & ok
-    )
-    return jnp.where(hit, tt, jnp.inf), u, v
+    return _mt_rows(o, d, rows, ok)
 
 
 def _mt_batch_cells(o, d, rank, cell_rows, alive):
@@ -493,22 +509,8 @@ def _mt_batch_cells(o, d, rank, cell_rows, alive):
     ok = (rank >= 0)[:, None] & (rows[..., 9] > 0.5) & alive[:, None]
     slots = jnp.where(
         ok, jax.lax.bitcast_convert_type(rows[..., 10], jnp.int32), -1)
-    tv0 = rows[..., 0:3]
-    te1 = rows[..., 3:6]
-    te2 = rows[..., 6:9]
-    pvec = jnp.cross(d[:, None, :], te2)
-    det = jnp.sum(te1 * pvec, -1)
-    inv = jnp.where(jnp.abs(det) > _EPS, 1.0 / det, 0.0)
-    tvec = o[:, None, :] - tv0
-    u = jnp.sum(tvec * pvec, -1) * inv
-    qvec = jnp.cross(tvec, te1)
-    v = jnp.sum(d[:, None, :] * qvec, -1) * inv
-    tt = jnp.sum(te2 * qvec, -1) * inv
-    hit = (
-        (jnp.abs(det) > _EPS) & (u >= -_EPS) & (v >= -_EPS)
-        & (u + v <= 1.0 + _EPS) & (tt > 1e-6) & ok
-    )
-    return jnp.where(hit, tt, jnp.inf), u, v, slots
+    tt, u, v = _mt_rows(o, d, rows, ok)
+    return tt, u, v, slots
 
 
 @partial(jax.jit, static_argnames=(
@@ -658,12 +660,15 @@ def _grid_cast3d(
             # crossings deduplicated by assigning each hit POINT to exactly
             # one cell with the same floor/clip arithmetic as the build (an
             # interval test [t_cur, t_exit) is fp-fragile at boundaries: the
-            # same hit computes to slightly different t in adjacent cells)
-            p_hit = o[:, None, :] + tt[:, :, None] * d[:, None, :]
-            hc = jnp.clip(
-                jnp.floor((p_hit - lo[None, None, :]) / cell).astype(jnp.int32),
-                0, dims[None, None, :] - 1)
-            in_cell = hit & jnp.all(hc == c[:, None, :], -1)
+            # same hit computes to slightly different t in adjacent cells).
+            # Component-unrolled: [RT, cap] per axis, no trailing-3 buffers.
+            in_cell = hit
+            for a in range(3):
+                hca = jnp.clip(
+                    jnp.floor((o[:, a][:, None] + tt * d[:, a][:, None]
+                               - lo[a]) / cell).astype(jnp.int32),
+                    0, dims[a] - 1)
+                in_cell = in_cell & (hca == c[:, a][:, None])
             count = s["count"] + jnp.sum(in_cell, 1).astype(jnp.int32)
 
             j = jnp.argmin(tt, 1)
@@ -803,13 +808,13 @@ def grid_cast(
 
 @partial(jax.jit, static_argnames=(
     "cell", "nx", "ny", "nz", "ray_tile", "visits", "max_steps",
-    "first_round", "it_budget"))
+    "first_round", "it_budget", "unroll"))
 def _enumerate_visits(
     origins: Array, dirs: Array, t_start: Array, alive_in: Array,
     c_start: Array,
     lo: Array, cell: float, nx: int, ny: int, nz: int, skip_tab: Array,
     ray_tile: int, visits: int, max_steps: int, first_round: bool = True,
-    it_budget: int | None = None,
+    it_budget: int | None = None, unroll: int = 4,
 ) -> tuple[Array, Array, Array, Array, Array]:
     """March each ray from ``t_start`` and record up to ``visits`` occupied
     cell ids. Returns (visit_cids [R, V] i32 (-1 pad), t_covered [R] march
@@ -826,14 +831,20 @@ def _enumerate_visits(
     backward into already-counted cells.
 
     ``it_budget`` caps the fused-advance count per call: the while loop's
-    sequential depth is the wall at bundle scale (~2.7 ms per iteration of
-    launch overhead regardless of width), and the longest ray otherwise
-    forces EVERY ray's round to its worst-case march (max_steps+visits
-    iterations). Budget-frozen rays resume next round via the carried
-    (c, t) state — per-ray semantics identical, oracle-tested."""
+    sequential depth is the wall at bundle scale, and the longest ray
+    otherwise forces EVERY ray's round to its worst-case march
+    (max_steps+visits iterations). Budget-frozen rays resume next round via
+    the carried (c, t) state — per-ray semantics identical, oracle-tested.
+
+    Layout: the walk runs STRUCTURE-OF-ARRAYS — per-axis [rt] vectors for
+    positions/cells and a [visits, rt] visit table — so every carried
+    buffer and every op in the loop body tiles the full (8, 128) vector
+    registers. The AoS form carried [rt, 3] / [rt, visits] state whose
+    minor dims pad to 128 lanes: ~43x the HBM traffic per iteration for
+    the same math. ``unroll`` fused advances run per while iteration to
+    amortize per-iteration sequencing overhead; the budget check lands on
+    unroll boundaries (overshoot < unroll advances, semantics unchanged)."""
     r = origins.shape[0]
-    dims = jnp.array([nx, ny, nz], jnp.int32)
-    hi = lo + dims.astype(jnp.float32) * cell
     rem = (-r) % ray_tile
     o_all = jnp.pad(origins.astype(jnp.float32), ((0, rem), (0, 0)))
     d_all = jnp.pad(dirs.astype(jnp.float32), ((0, rem), (0, 0)),
@@ -841,40 +852,63 @@ def _enumerate_visits(
     t_all = jnp.pad(t_start.astype(jnp.float32), (0, rem))
     a_all = jnp.pad(alive_in, (0, rem))
     c_all = jnp.pad(c_start.astype(jnp.int32), ((0, rem), (0, 0)))
+    dims3 = (nx, ny, nz)
 
     def tile(args):
         o, d, ts, a_in, c_in = args
-        inv_d = jnp.where(d != 0, 1.0 / jnp.where(d == 0, 1.0, d), jnp.inf)
-        t0 = (lo[None, :] - o) * inv_d
-        t1 = (hi[None, :] - o) * inv_d
-        inside0 = (o >= lo[None, :]) & (o <= hi[None, :])
-        tmin_ax = jnp.where(d != 0, jnp.minimum(t0, t1),
-                            jnp.where(inside0, -jnp.inf, jnp.inf))
-        tmax_ax = jnp.where(d != 0, jnp.maximum(t0, t1),
-                            jnp.where(inside0, jnp.inf, -jnp.inf))
-        t_enter = jnp.maximum(jnp.maximum(jnp.max(tmin_ax, 1), 0.0), ts)
-        t_exit_grid = jnp.min(tmax_ax, 1)
+        rt = o.shape[0]
+        ovec = tuple(o[:, a] for a in range(3))
+        dvec = tuple(d[:, a] for a in range(3))
+        lov = tuple(lo[a] for a in range(3))
+        hiv = tuple(lov[a] + dims3[a] * cell for a in range(3))
+
+        inv = tuple(
+            jnp.where(dvec[a] != 0,
+                      1.0 / jnp.where(dvec[a] == 0, 1.0, dvec[a]), jnp.inf)
+            for a in range(3))
+        tmin_ax, tmax_ax = [], []
+        for a in range(3):
+            t0 = (lov[a] - ovec[a]) * inv[a]
+            t1 = (hiv[a] - ovec[a]) * inv[a]
+            inside0 = (ovec[a] >= lov[a]) & (ovec[a] <= hiv[a])
+            tmin_ax.append(jnp.where(
+                dvec[a] != 0, jnp.minimum(t0, t1),
+                jnp.where(inside0, -jnp.inf, jnp.inf)))
+            tmax_ax.append(jnp.where(
+                dvec[a] != 0, jnp.maximum(t0, t1),
+                jnp.where(inside0, jnp.inf, -jnp.inf)))
+        t_enter = jnp.maximum(jnp.maximum(
+            jnp.maximum(tmin_ax[0], tmin_ax[1]), tmin_ax[2]), 0.0)
+        t_enter = jnp.maximum(t_enter, ts)
+        t_exit_grid = jnp.minimum(
+            jnp.minimum(tmax_ax[0], tmax_ax[1]), tmax_ax[2])
         alive0 = a_in & (t_enter <= t_exit_grid)
 
         if first_round:
-            pos = o + (t_enter[:, None] + 1e-6) * d
-            c0 = jnp.clip(
-                jnp.floor((pos - lo[None, :]) / cell).astype(jnp.int32),
-                0, dims[None, :] - 1)
+            c0 = tuple(jnp.clip(
+                jnp.floor(
+                    (ovec[a] + (t_enter + 1e-6) * dvec[a] - lov[a]) / cell
+                ).astype(jnp.int32), 0, dims3[a] - 1) for a in range(3))
         else:
-            c0 = jnp.clip(c_in, 0, dims[None, :] - 1)
-        step = jnp.where(d > 0, 1, jnp.where(d < 0, -1, 0)).astype(jnp.int32)
-        t_delta = jnp.where(d != 0, cell * jnp.abs(inv_d), jnp.inf)
-        min_td = jnp.min(t_delta, 1)
+            c0 = tuple(jnp.clip(c_in[:, a], 0, dims3[a] - 1)
+                       for a in range(3))
+        step = tuple(
+            jnp.where(dvec[a] > 0, 1,
+                      jnp.where(dvec[a] < 0, -1, 0)).astype(jnp.int32)
+            for a in range(3))
+        t_delta = tuple(
+            jnp.where(dvec[a] != 0, cell * jnp.abs(inv[a]), jnp.inf)
+            for a in range(3))
+        min_td = jnp.minimum(jnp.minimum(t_delta[0], t_delta[1]), t_delta[2])
 
-        def t_max_of(c):
-            nb = lo[None, :] + jnp.where(
-                d >= 0, (c + 1).astype(jnp.float32), c.astype(jnp.float32)
-            ) * cell
-            return jnp.where(d != 0, (nb - o) * inv_d, jnp.inf)
+        def t_max_of(c, a):
+            nb = lov[a] + jnp.where(
+                dvec[a] >= 0, (c[a] + 1).astype(jnp.float32),
+                c[a].astype(jnp.float32)) * cell
+            return jnp.where(dvec[a] != 0, (nb - ovec[a]) * inv[a], jnp.inf)
 
         def cell_id(c):
-            return (c[:, 0] * ny + c[:, 1]) * nz + c[:, 2]
+            return (c[0] * ny + c[1]) * nz + c[2]
 
         def skip_of(c, alive):
             return jnp.where(
@@ -882,24 +916,27 @@ def _enumerate_visits(
             ).astype(jnp.int32)
 
         def dda_step(c, move):
-            tm = t_max_of(c)
-            t_exit = jnp.min(tm, 1)
-            ax = jnp.argmin(tm, 1)
-            onehot = jax.nn.one_hot(ax, 3, dtype=jnp.int32)
-            c_new = c + onehot * step
-            oob = jnp.any((c_new < 0) | (c_new >= dims[None, :]), 1)
-            return (
-                jnp.where(move[:, None],
-                          jnp.clip(c_new, 0, dims[None, :] - 1), c),
-                t_exit,
-                jnp.logical_not(move & oob),
-            )
+            tm = tuple(t_max_of(c, a) for a in range(3))
+            t_exit = jnp.minimum(jnp.minimum(tm[0], tm[1]), tm[2])
+            # first-minimum tie-break, identical to argmin over (x, y, z)
+            mvx = (tm[0] <= tm[1]) & (tm[0] <= tm[2])
+            mvy = jnp.logical_not(mvx) & (tm[1] <= tm[2])
+            mvz = jnp.logical_not(mvx) & jnp.logical_not(mvy)
+            mv = (mvx, mvy, mvz)
+            c_new = tuple(
+                c[a] + jnp.where(mv[a], step[a], 0) for a in range(3))
+            oob = ((c_new[0] < 0) | (c_new[0] >= nx)
+                   | (c_new[1] < 0) | (c_new[1] >= ny)
+                   | (c_new[2] < 0) | (c_new[2] >= nz))
+            c_out = tuple(
+                jnp.where(move, jnp.clip(c_new[a], 0, dims3[a] - 1), c[a])
+                for a in range(3))
+            return c_out, t_exit, jnp.logical_not(move & oob)
 
-        rt = o.shape[0]
         state = dict(
-            c=c0, t_cur=t_enter, alive=alive0,
+            cx=c0[0], cy=c0[1], cz=c0[2], t_cur=t_enter, alive=alive0,
             nrec=jnp.zeros(rt, jnp.int32),
-            vis=jnp.full((rt, visits), -1, jnp.int32),
+            vis=jnp.full((visits, rt), -1, jnp.int32),
             t_cov=jnp.where(alive0, t_enter, ts),
             it=jnp.int32(0),
         )
@@ -911,23 +948,23 @@ def _enumerate_visits(
             return jnp.any(s["alive"] & (s["nrec"] < visits)) & (
                 s["it"] < it_cap)
 
-        def body(s):
-            # ONE fused advance per iteration (record-if-occupied + step or
-            # skip-jump) — the former record-loop-around-skip-loop nesting
-            # ran ~3x the sequential while iterations for the same walk
-            # (4.0 s -> the dominant wavefront cost at 1M rays; per-ray
+        def advance(s):
+            # ONE fused advance (record-if-occupied + step or skip-jump) —
+            # the former record-loop-around-skip-loop nesting ran ~3x the
+            # sequential while iterations for the same walk (per-ray
             # semantics identical). Rays with a full visit quota FREEZE
             # (their c/t_cur is the next round's resume state).
+            c = (s["cx"], s["cy"], s["cz"])
             act = s["alive"] & (s["nrec"] < visits)
-            k = skip_of(s["c"], act)
+            k = skip_of(c, act)
             occ = act & (k == 0)
 
             # record the occupied cell (slot nrec) for rays sitting in one
-            cid = jnp.where(occ, cell_id(s["c"]), -1)
-            slot = jax.lax.broadcasted_iota(jnp.int32, (rt, visits), 1)
+            cid = jnp.where(occ, cell_id(c), -1)
+            slot = jax.lax.broadcasted_iota(jnp.int32, (visits, rt), 0)
             vis = jnp.where(
-                occ[:, None] & (slot == s["nrec"][:, None]),
-                cid[:, None], s["vis"])
+                occ[None, :] & (slot == s["nrec"][None, :]),
+                cid[None, :], s["vis"])
             nrec = s["nrec"] + occ.astype(jnp.int32)
 
             # advance: verified-empty cells (k>=2) jump k-1 min-cell-widths;
@@ -935,12 +972,14 @@ def _enumerate_visits(
             jump = act & (k >= 2)
             tau = (k - 1).astype(jnp.float32) * min_td
             t_jump = s["t_cur"] + tau
-            pj = o + t_jump[:, None] * d
-            c_jump = jnp.clip(
-                jnp.floor((pj - lo[None, :]) / cell).astype(jnp.int32),
-                0, dims[None, :] - 1)
-            c_step, t_exit, ok_step = dda_step(s["c"], act & ~jump)
-            c_new = jnp.where(jump[:, None], c_jump, c_step)
+            c_jump = tuple(jnp.clip(
+                jnp.floor(
+                    (ovec[a] + t_jump * dvec[a] - lov[a]) / cell
+                ).astype(jnp.int32), 0, dims3[a] - 1) for a in range(3))
+            c_step, t_exit, ok_step = dda_step(c, act & ~jump)
+            c_new = tuple(
+                jnp.where(act, jnp.where(jump, c_jump[a], c_step[a]), c[a])
+                for a in range(3))
             t_new = jnp.where(jump, t_jump,
                               jnp.where(act, t_exit, s["t_cur"]))
             # the recorded cell's exit closes the covered march interval
@@ -948,22 +987,26 @@ def _enumerate_visits(
             dead = (jump & (t_jump >= t_exit_grid)) | ~ok_step
             alive = s["alive"] & ~dead
             return dict(
-                c=jnp.where(act[:, None], c_new, s["c"]),
+                cx=c_new[0], cy=c_new[1], cz=c_new[2],
                 t_cur=t_new, alive=alive,
                 nrec=nrec, vis=vis, t_cov=t_cov, it=s["it"] + 1,
             )
 
+        def body(s):
+            for _ in range(unroll):
+                s = advance(s)
+            return s
+
         s = jax.lax.while_loop(cond, body, state)
         # rays that exited the grid are fully covered
         t_cov = jnp.where(s["alive"], s["t_cov"], jnp.inf)
-        return s["vis"], t_cov, s["alive"], s["c"], s["t_cur"]
+        c_out = jnp.stack([s["cx"], s["cy"], s["cz"]], 1)
+        return s["vis"].T, t_cov, s["alive"], c_out, s["t_cur"]
 
     nt = o_all.shape[0] // ray_tile
-    # ALL tiles run in one vmapped while_loop group: per-iteration cost is
-    # dominated by fixed launch/sequencing overhead (~2.7 ms measured at any
-    # width on v5e), so sequential depth — groups × iterations — is what
-    # matters, not per-iteration state size (~100 MB at 1M rays streams in
-    # ~0.3 ms of HBM time)
+    # ALL tiles run in one vmapped while_loop group: sequential depth —
+    # groups × iterations — is what matters, so tiles share iterations and
+    # unrolled advances keep per-iteration overhead amortized
     vis_t, cov_t, more_t, c_t, tn_t = jax.lax.map(
         tile, (o_all.reshape(nt, ray_tile, 3), d_all.reshape(nt, ray_tile, 3),
                t_all.reshape(nt, ray_tile), a_all.reshape(nt, ray_tile),
@@ -1043,6 +1086,11 @@ def _mt_blocks(
     nbt = nb_cap // batch
 
     def tile(ti):
+        # Möller–Trumbore unrolled per component on [batch, cap, block]
+        # arrays: block (256 = 2 full lane groups) rides the 128-lane minor
+        # axis and cap the sublane axis, so every VPU op runs dense. The
+        # former [batch, block, cap, 3] form both wasted lanes (cap=72 pads
+        # to 128) and reduced over a minor axis of 3.
         sl = lambda a: jax.lax.dynamic_slice_in_dim(a, ti * batch, batch)
         cells = sl(block_cell)  # [batch]
         rays = sl(pair_ray)  # [batch, block]
@@ -1063,40 +1111,34 @@ def _mt_blocks(
         rid = jnp.maximum(rays, 0)
         o = origins[rid]  # [batch, block, 3]
         d = dirs[rid]
-        tv0 = rows[..., 0:3][:, None, :, :]  # [batch, 1, cap, 3]
-        te1 = rows[..., 3:6][:, None, :, :]
-        te2 = rows[..., 6:9][:, None, :, :]
-        pvec = jnp.cross(d[:, :, None, :], te2)
-        det = jnp.sum(te1 * pvec, -1)  # [batch, block, cap]
-        inv = jnp.where(jnp.abs(det) > _EPS, 1.0 / det, 0.0)
-        tvec = o[:, :, None, :] - tv0
-        u = jnp.sum(tvec * pvec, -1) * inv
-        qvec = jnp.cross(tvec, te1)
-        vv = jnp.sum(d[:, :, None, :] * qvec, -1) * inv
-        tt = jnp.sum(te2 * qvec, -1) * inv
-        hit = ((jnp.abs(det) > _EPS) & (u >= -_EPS) & (vv >= -_EPS)
-               & (u + vv <= 1.0 + _EPS) & (tt > 1e-6)
-               & ok_tri[:, None, :] & live_ray[:, :, None])
-        tt = jnp.where(hit, tt, jnp.inf)
+        from pyqsm_tpu.ops.raytrace import mt_components
+
+        ov = tuple(o[..., a][:, None, :] for a in range(3))  # [batch,1,block]
+        dv = tuple(d[..., a][:, None, :] for a in range(3))
+        tt, u, vv = mt_components(
+            ov, dv,
+            tuple(rows[..., a][:, :, None] for a in range(3)),  # [b,cap,1]
+            tuple(rows[..., 3 + a][:, :, None] for a in range(3)),
+            tuple(rows[..., 6 + a][:, :, None] for a in range(3)),
+            ok_tri[:, :, None] & live_ray[:, None, :],
+        )
+        hit = jnp.isfinite(tt)
         # crossing dedupe: count a hit only in the cell owning its hit point
-        p_hit = o[:, :, None, :] + tt[..., None] * d[:, :, None, :]
-        hc = jnp.clip(
-            jnp.floor((p_hit - lo[None, None, None, :]) / cell_size)
-            .astype(jnp.int32), 0, dims[None, None, None, :] - 1)
-        hcid = (hc[..., 0] * dims[1] + hc[..., 1]) * dims[2] + hc[..., 2]
+        hcid = jnp.zeros(tt.shape, jnp.int32)
+        for a in range(3):
+            hca = jnp.clip(
+                jnp.floor((ov[a] + tt * dv[a] - lo[a]) / cell_size)
+                .astype(jnp.int32), 0, dims[a] - 1)
+            hcid = hcid * dims[a] + hca if a else hca
         in_cell = hit & (hcid == cells[:, None, None])
-        cnt = jnp.sum(in_cell, -1).astype(jnp.int32)  # [batch, block]
-        j = jnp.argmin(tt, -1)
-        tmin = jnp.min(tt, -1)
+        cnt = jnp.sum(in_cell, 1).astype(jnp.int32)  # [batch, block]
+        j = jnp.argmin(tt, 1)  # over cap → [batch, block]
+        tmin = jnp.min(tt, 1)
+        take = lambda a: jnp.take_along_axis(a, j[:, None, :], 1)[:, 0, :]
         tri_best = jnp.where(
             jnp.isfinite(tmin),
-            jnp.take_along_axis(
-                jnp.broadcast_to(slots[:, None, :], tt.shape),
-                j[..., None], 2)[..., 0],
-            -1)
-        ub = jnp.take_along_axis(u, j[..., None], 2)[..., 0]
-        vb = jnp.take_along_axis(vv, j[..., None], 2)[..., 0]
-        return tmin, tri_best, ub, vb, cnt
+            take(jnp.broadcast_to(slots[:, :, None], tt.shape)), -1)
+        return tmin, tri_best, take(u), take(vv), cnt
 
     t_b, tri_b, u_b, v_b, c_b = jax.lax.map(
         tile, jnp.arange(nbt), batch_size=min(16, nbt))
@@ -1169,6 +1211,7 @@ def grid_cast_wavefront(
     ray_tile: int = 65536,
     max_rounds: int | None = None,
     it_budget: int = 32,
+    tail_fallback: int = 2048,
     debug: bool = False,
 ) -> Hits:
     """High-throughput exact casting for ARBITRARY ray bundles (the
@@ -1185,8 +1228,12 @@ def grid_cast_wavefront(
     set every ray's iteration count; budget-frozen rays resume exactly via
     carried (cell, t) state. Per round the MT dispatch is sized to the
     EXACT live block count, and the surviving frontier is compacted once
-    it shrinks (4x size buckets bound the compile count). ``debug`` prints
-    per-round frontier/block/timing stats.
+    it shrinks (4x size buckets bound the compile count). Once the live
+    frontier drops to ``tail_fallback`` rays (after round 0), the
+    stragglers finish in one compacted :func:`grid_cast` dispatch instead
+    of paying several sync-bound mini-rounds (0 disables — used by the
+    resume-path oracle tests). ``debug`` prints per-round frontier/block/
+    phase timing stats.
 
     Host-sync contract: this is a HOST-STEPPED loop — every round performs
     two blocking device→host syncs (live block count, live frontier count)
@@ -1196,6 +1243,13 @@ def grid_cast_wavefront(
     for fully-traced composition use ``grid_cast`` (one program, no syncs).
     """
     import time as _time
+
+    def _tick(x) -> float:
+        """Debug-only phase boundary: a 4-byte device reduction (honest on
+        tunnel-attached TPUs where ``block_until_ready`` returns early)."""
+        if debug:
+            float(jnp.sum(jnp.ravel(x)[:1]))  # forced 4-byte host transfer
+        return _time.perf_counter()
 
     r = origins.shape[0]
     o = jnp.asarray(origins, jnp.float32)
@@ -1214,6 +1268,7 @@ def grid_cast_wavefront(
     best_u = jnp.zeros(r)
     best_v = jnp.zeros(r)
     count = jnp.zeros(r, jnp.int32)
+    handled = None  # rays finished by the DDA tail fallback (incl. residual)
 
     # compacted working set: starts as the full bundle; once the live
     # frontier drops below a quarter of the buffer the survivors are
@@ -1251,16 +1306,23 @@ def grid_cast_wavefront(
             ray_tile=min(ray_tile, max(256, 1 << (rc - 1).bit_length())),
             visits=v_rnd, max_steps=max_steps, first_round=(rnd == 0),
             it_budget=b_rnd)
+        t_enum = _tick(t_walk)
         skeys, srays, blk_id, pos_in_blk, live_pair, inv_order, n_blk_d = \
             _sort_pairs(jnp.where(alive[:, None], vis, -1), block)
         n_blk = int(n_blk_d)  # host sync: exact live block count this round
+        t_sort = _time.perf_counter()
         if n_blk > 0:
-            # 2x buckets bound the compile count to ~10 variants per bundle;
-            # 4x buckets overshot the dominant first round 3.4x (65536-block
-            # dispatch for 19333 live blocks at 1M rays)
-            nb_cap = 256
-            while nb_cap < n_blk:
-                nb_cap *= 2
+            # pow2 buckets up to 4096, then 4096-steps: the dominant rounds
+            # land at 10-20k live blocks where a pow2 bucket overshoots up
+            # to 2x (16384-cap dispatch for 10770 live blocks on the bench
+            # bundle); step buckets bound the overshoot at 4096 dead blocks
+            # while keeping the variant count bench-bounded (~8 seen)
+            if n_blk <= 4096:
+                nb_cap = 256
+                while nb_cap < n_blk:
+                    nb_cap *= 2
+            else:
+                nb_cap = -4096 * (-n_blk // 4096)
             t, tri, u, v, cnt = _mt_blocks(
                 o_c, d_c, skeys, srays, blk_id, pos_in_blk, live_pair,
                 inv_order, grid.tri_of_slot, grid.packed,
@@ -1273,15 +1335,53 @@ def grid_cast_wavefront(
             tri = jnp.full(rc, -1, jnp.int32)
             u = v = jnp.zeros(rc)
             cnt = jnp.zeros(rc, jnp.int32)
+        t_mt = _tick(t)
         best_t, best_tri, best_u, best_v, count, alive = _merge_round(
             best_t, best_tri, best_u, best_v, count, ridx, alive, more,
             t, tri, u, v, cnt, t_cov, count_all=count_all)
         n_alive = int(jnp.sum(alive))  # host sync: frontier size
         if debug:
             print(f"# wavefront rnd={rnd} rc={rc} blocks={n_blk} "
-                  f"alive={n_alive} dt={_time.perf_counter() - t_rnd:.3f}s",
+                  f"alive={n_alive} dt={_time.perf_counter() - t_rnd:.3f}s "
+                  f"(enum={t_enum - t_rnd:.3f} sort={t_sort - t_enum:.3f} "
+                  f"mt={t_mt - t_sort:.3f} "
+                  f"merge={_time.perf_counter() - t_mt:.3f})",
                   flush=True)
         if n_alive == 0:
+            break
+        if rnd >= 1 and n_alive <= tail_fallback:
+            # Finish the deep-traversal stragglers with ONE traced DDA
+            # dispatch: at this frontier size each remaining wavefront
+            # round is pure sync/launch overhead (~60-80 ms, and several
+            # rounds remain), while the compacted DDA walk is a single
+            # ~20 ms program — and grid_cast IS the wavefront's oracle.
+            # Its results REPLACE the survivors' partial state (it walks
+            # from the origin, so t/tri/uv/count are complete on their
+            # own), and ``handled`` excludes them from the shared residual
+            # pass below (grid_cast brute-tests the spill rows itself).
+            from pyqsm_tpu.ops.sampling import nonzero_rows
+
+            t_fb = _time.perf_counter()
+            sel = nonzero_rows(alive, tail_fallback)
+            safe = jnp.maximum(sel, 0)
+            live = sel >= 0
+            hf = grid_cast(grid, o_c[safe], d_c[safe],
+                           ray_tile=tail_fallback, count_all=count_all)
+            rows = jnp.where(live, ridx[safe], r)
+            best_t = best_t.at[rows].set(
+                jnp.where(live, hf.t, jnp.inf), mode="drop")
+            best_tri = best_tri.at[rows].set(
+                jnp.where(live, hf.tri, -1), mode="drop")
+            best_u = best_u.at[rows].set(
+                jnp.where(live, hf.uv[:, 0], 0.0), mode="drop")
+            best_v = best_v.at[rows].set(
+                jnp.where(live, hf.uv[:, 1], 0.0), mode="drop")
+            count = count.at[rows].set(
+                jnp.where(live, hf.count, 0), mode="drop")
+            handled = jnp.zeros(r, bool).at[rows].set(live, mode="drop")
+            if debug:
+                print(f"# wavefront tail-fallback n={n_alive} "
+                      f"dt={_tick(best_t) - t_fb:.3f}s", flush=True)
             break
         if n_alive <= rc // 4 and rc > 2048:
             from pyqsm_tpu.ops.sampling import nonzero_rows
@@ -1300,6 +1400,7 @@ def grid_cast_wavefront(
 
     # residual pass (overflow-spilled triangles) — identical to grid_cast
     if grid.n_residual > 0:
+        t_res = _time.perf_counter()
         res = grid.residual
         rt = 8192
         rem = (-r) % rt
@@ -1332,12 +1433,18 @@ def grid_cast_wavefront(
         um = um.reshape(-1)[:r]
         vm = vm.reshape(-1)[:r]
         cm = cm.reshape(-1)[:r]
+        if handled is not None:  # fallback rays: residual already applied
+            tm = jnp.where(handled, jnp.inf, tm)
+            cm = jnp.where(handled, 0, cm)
         better = tm < best_t
         best_tri = jnp.where(better, trm, best_tri)
         best_u = jnp.where(better, um, best_u)
         best_v = jnp.where(better, vm, best_v)
         best_t = jnp.minimum(best_t, tm)
         count = count + cm
+        if debug:
+            print(f"# wavefront residual n={grid.n_residual} "
+                  f"dt={_tick(best_t) - t_res:.3f}s", flush=True)
 
     return Hits(t=best_t, tri=best_tri,
                 uv=jnp.stack([best_u, best_v], 1), count=count)

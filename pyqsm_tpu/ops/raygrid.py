@@ -31,7 +31,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from pyqsm_tpu.ops.raytrace import Hits
+from pyqsm_tpu.ops.raytrace import Hits, mt_components
 
 Array = jax.Array
 _INT32_MAX = np.iinfo(np.int32).max
@@ -218,19 +218,15 @@ def _grid_cast(
             tv0 = v0[tid]
             te1 = e1[tid]
             te2 = e2[tid]
-        pvec = jnp.cross(dt[:, None, :], te2)
-        det = jnp.sum(te1 * pvec, -1)
-        inv = jnp.where(jnp.abs(det) > 1e-9, 1.0 / det, 0.0)
-        tvec = ot[:, None, :] - tv0
-        uu_ = jnp.sum(tvec * pvec, -1) * inv
-        qvec = jnp.cross(tvec, te1)
-        vv_ = jnp.sum(dt[:, None, :] * qvec, -1) * inv
-        tt = jnp.sum(te2 * qvec, -1) * inv
-        hit = (
-            (jnp.abs(det) > 1e-9) & (uu_ >= -1e-9) & (vv_ >= -1e-9)
-            & (uu_ + vv_ <= 1 + 1e-9) & (tt > 1e-6) & ok_tri
+        tt, uu_, vv_ = mt_components(
+            tuple(ot[:, a][:, None] for a in range(3)),
+            tuple(dt[:, a][:, None] for a in range(3)),
+            tuple(tv0[..., a] for a in range(3)),
+            tuple(te1[..., a] for a in range(3)),
+            tuple(te2[..., a] for a in range(3)),
+            ok_tri,
         )
-        tt = jnp.where(hit, tt, jnp.inf)
+        hit = jnp.isfinite(tt)
         cnt = jnp.sum(hit, axis=1).astype(jnp.int32)
         j = jnp.argmin(tt, axis=1)
         tmin = jnp.min(tt, axis=1)
@@ -490,30 +486,27 @@ def _image_cast_tiles(
             tv0 = v0[tid] - eye[None, None, :]  # [TB, cap, 3] (origin at eye)
             te1 = e1[tid]
             te2 = e2[tid]
-        pvec = jnp.cross(d[:, :, None, :], te2[:, None, :, :])  # [TB,rpc,cap,3]
-        det = jnp.sum(te1[:, None, :, :] * pvec, -1)
-        inv = jnp.where(jnp.abs(det) > 1e-9, 1.0 / det, 0.0)
-        tvec = -tv0[:, None, :, :]  # origins - v0 = -(v0 - eye)
-        uu = jnp.sum(tvec * pvec, -1) * inv
-        qvec = jnp.cross(tvec, te1[:, None, :, :])
-        vv = jnp.sum(d[:, :, None, :] * qvec, -1) * inv
-        tt = jnp.sum(te2[:, None, :, :] * qvec, -1) * inv
-        hit = ((jnp.abs(det) > 1e-9) & (uu >= -1e-9) & (vv >= -1e-9)
-               & (uu + vv <= 1 + 1e-9) & (tt > 1e-6) & ok_tri[:, None, :])
-        tt = jnp.where(hit, tt, jnp.inf)
-        cnt = jnp.sum(hit, -1).astype(jnp.int32)
-        j = jnp.argmin(tt, -1)
-        tmin = jnp.min(tt, -1)
+        # component-unrolled MT on [TB, cap, rpc]: rays ride the 128-lane
+        # minor axis, triangles the sublanes — no [.., 3]-minor buffers and
+        # no cap-minor padding (the small-occupancy buckets run cap 8/16)
+        tt, uu, vv = mt_components(
+            (0.0, 0.0, 0.0),  # origins at eye (tv0 is already v0 - eye)
+            tuple(d[..., a][:, None, :] for a in range(3)),  # [TB,1,rpc]
+            tuple(tv0[..., a][:, :, None] for a in range(3)),  # [TB,cap,1]
+            tuple(te1[..., a][:, :, None] for a in range(3)),
+            tuple(te2[..., a][:, :, None] for a in range(3)),
+            ok_tri[:, :, None],
+        )
+        hit = jnp.isfinite(tt)
+        cnt = jnp.sum(hit, 1).astype(jnp.int32)
+        j = jnp.argmin(tt, 1)
+        tmin = jnp.min(tt, 1)
+        take = lambda a: jnp.take_along_axis(a, j[:, None, :], 1)[:, 0, :]
         tri_best = jnp.where(
             jnp.isfinite(tmin),
-            jnp.take_along_axis(
-                jnp.broadcast_to(slots[:, None, :],
-                                 (tiles_per_block, rpc, cap)),
-                j[..., None], 2)[..., 0],
-            -1)
-        ub = jnp.take_along_axis(uu, j[..., None], 2)[..., 0]
-        vb = jnp.take_along_axis(vv, j[..., None], 2)[..., 0]
-        return tmin, tri_best, ub, vb, cnt
+            take(jnp.broadcast_to(slots[:, :, None],
+                                  (tiles_per_block, cap, rpc))), -1)
+        return tmin, tri_best, take(uu), take(vv), cnt
 
     t_, tri_, u_, v_, cnt_ = jax.lax.map(block, jnp.arange(nb))
     flat = lambda x: x.reshape(-1, rpc)[:m]
@@ -674,29 +667,26 @@ def _cell_cast_rows(direction, u, v, origin_uv, cell, nx, ny,
         vv = origin_uv[1] + cy[:, None] * cell + sub[None, :, 1]
         o = (uu[..., None] * u[None, None, :] + vv[..., None] * v[None, None, :]
              - back_dist * d[None, None, :])
-        # MT: [CT, rpc, cap]
-        pvec = jnp.cross(d[None, None, :], te2)[:, None, :, :]  # [CT,1,cap,3]
-        det = jnp.sum(te1[:, None, :, :] * pvec, -1)
-        inv = jnp.where(jnp.abs(det) > 1e-9, 1.0 / det, 0.0)
-        tvec = o[:, :, None, :] - tv0[:, None, :, :]
-        uu_ = jnp.sum(tvec * pvec, -1) * inv
-        qvec = jnp.cross(tvec, te1[:, None, :, :])
-        vv_ = jnp.sum(d[None, None, None, :] * qvec, -1) * inv
-        tt = jnp.sum(te2[:, None, :, :] * qvec, -1) * inv
-        hit = (
-            (jnp.abs(det) > 1e-9) & (uu_ >= -1e-9) & (vv_ >= -1e-9)
-            & (uu_ + vv_ <= 1 + 1e-9) & (tt > 1e-6) & ok_tri[:, None, :]
+        # component-unrolled MT on [CT, cap, rpc]: rays on the lane axis,
+        # triangles on sublanes — no [.., 3]-minor buffers
+        tt, uu_, vv_ = mt_components(
+            tuple(o[..., a][:, None, :] for a in range(3)),  # [CT,1,rpc]
+            tuple(d[a] for a in range(3)),  # scalars broadcast everywhere
+            tuple(tv0[..., a][:, :, None] for a in range(3)),  # [CT,cap,1]
+            tuple(te1[..., a][:, :, None] for a in range(3)),
+            tuple(te2[..., a][:, :, None] for a in range(3)),
+            ok_tri[:, :, None],
         )
-        tt = jnp.where(hit, tt, jnp.inf)
-        cnt = jnp.sum(hit, -1).astype(jnp.int32)
-        j = jnp.argmin(tt, -1)
-        tmin = jnp.min(tt, -1)
+        hit = jnp.isfinite(tt)
+        cnt = jnp.sum(hit, 1).astype(jnp.int32)
+        j = jnp.argmin(tt, 1)
+        tmin = jnp.min(tt, 1)
         tri_best = jnp.where(
             jnp.isfinite(tmin),
             jnp.take_along_axis(
-                jnp.broadcast_to(slots[:, None, :],
-                                 (cell_tile, rpc, slots.shape[1])),
-                j[..., None], 2)[..., 0],
+                jnp.broadcast_to(slots[:, :, None],
+                                 (cell_tile, slots.shape[1], rpc)),
+                j[:, None, :], 1)[:, 0, :],
             -1,
         )
         return tmin, tri_best, cnt

@@ -43,6 +43,42 @@ def _pad_rows(x, multiple, fill):
     return jnp.pad(x, pad, constant_values=fill)
 
 
+def mt_components(ov, dv, v0, e1, e2, ok):
+    """Component-unrolled Möller–Trumbore core shared by every caster.
+
+    ``ov``/``dv``/``v0``/``e1``/``e2`` are (x, y, z) tuples of arrays
+    already broadcast-compatible against each other; ``ok`` is the
+    candidate-validity mask at the broadcast (output) shape. Every
+    intermediate carries the OUTPUT shape — no trailing length-3 axis
+    ever materializes (on TPU a [..., 3] cross/dot chain puts 3 on the
+    128-lane minor axis: ~2% lane utilization for any buffer XLA
+    materializes, measured as the dominant cost of the AoS casters).
+    Returns (t with inf=miss, u, v)."""
+    # pvec = d × e2
+    px = dv[1] * e2[2] - dv[2] * e2[1]
+    py = dv[2] * e2[0] - dv[0] * e2[2]
+    pz = dv[0] * e2[1] - dv[1] * e2[0]
+    det = e1[0] * px + e1[1] * py + e1[2] * pz
+    inv = jnp.where(jnp.abs(det) > _EPS, 1.0 / det, 0.0)
+    tvx = ov[0] - v0[0]
+    tvy = ov[1] - v0[1]
+    tvz = ov[2] - v0[2]
+    u = (tvx * px + tvy * py + tvz * pz) * inv
+    # qvec = tvec × e1
+    qx = tvy * e1[2] - tvz * e1[1]
+    qy = tvz * e1[0] - tvx * e1[2]
+    qz = tvx * e1[1] - tvy * e1[0]
+    v = (dv[0] * qx + dv[1] * qy + dv[2] * qz) * inv
+    t = (e2[0] * qx + e2[1] * qy + e2[2] * qz) * inv
+    hit = (
+        (jnp.abs(det) > _EPS)
+        & (u >= -_EPS) & (v >= -_EPS) & (u + v <= 1.0 + _EPS)
+        & (t > 1e-6)
+        & ok
+    )
+    return jnp.where(hit, t, jnp.inf), u, v
+
+
 def _moller_trumbore(
     origins: Array,  # [R, 3]
     dirs: Array,  # [R, 3]
@@ -51,22 +87,14 @@ def _moller_trumbore(
 ) -> tuple[Array, Array, Array]:
     """All-pairs intersection of a ray tile against a triangle tile.
     Returns (t [R,T], u [R,T], v [R,T]); misses have t = inf."""
-    # pvec = dir × e2 : [R, T, 3]
-    pvec = jnp.cross(dirs[:, None, :], e2[None, :, :])
-    det = jnp.einsum("tc,rtc->rt", e1, pvec)
-    inv_det = jnp.where(jnp.abs(det) > _EPS, 1.0 / det, 0.0)
-    tvec = origins[:, None, :] - v0[None, :, :]
-    u = jnp.einsum("rtc,rtc->rt", tvec, pvec) * inv_det
-    qvec = jnp.cross(tvec, e1[None, :, :])
-    v = jnp.einsum("rc,rtc->rt", dirs, qvec) * inv_det
-    t = jnp.einsum("tc,rtc->rt", e2, qvec) * inv_det
-    hit = (
-        (jnp.abs(det) > _EPS)
-        & (u >= -_EPS) & (v >= -_EPS) & (u + v <= 1.0 + _EPS)
-        & (t > 1e-6)
-        & valid_tri[None, :]
+    return mt_components(
+        tuple(origins[:, a][:, None] for a in range(3)),
+        tuple(dirs[:, a][:, None] for a in range(3)),
+        tuple(v0[:, a][None, :] for a in range(3)),
+        tuple(e1[:, a][None, :] for a in range(3)),
+        tuple(e2[:, a][None, :] for a in range(3)),
+        valid_tri[None, :],
     )
-    return jnp.where(hit, t, jnp.inf), u, v
 
 
 _GRID_CACHE: list = []  # [(weakref(vertices), weakref(triangles), grid)]

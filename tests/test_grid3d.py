@@ -183,14 +183,20 @@ def test_wavefront_matches_grid_cast(rng):
                                       np.asarray(ref.count))
 
 
-def test_wavefront_compaction_matches_grid_cast(rng):
+@pytest.mark.parametrize("tail_fallback", [0, 2048])
+def test_wavefront_compaction_matches_grid_cast(rng, tail_fallback):
     """Oracle for the ray-compaction branch (rc > 2048): 8192 rays where
     ~90% retire in round one (fired away from the scene) and a long-corridor
     minority survives several visits-bounded rounds, so the live frontier
     drops under rc//4 and the survivors are front-packed into a smaller
     buffer (8192 -> 2048, padding rows aliasing row 0). Results — t, tri,
     uv-consistency, and count_all crossing counts — must match the DDA
-    path exactly through the compaction."""
+    path exactly through the compaction.
+
+    ``tail_fallback=0`` disables the straggler grid_cast handoff so the
+    multi-round RESUME path (carried cell/t state, ``first_round=False``)
+    stays oracle-covered; the default exercises the fallback scatter +
+    residual exclusion."""
     from pyqsm_tpu.ops.grid3d import grid_cast_wavefront
 
     # dense triangle wall at the far +x end of a long thin corridor: the
