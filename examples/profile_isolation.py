@@ -36,8 +36,11 @@ def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--n", type=int, default=10_000_000)
     ap.add_argument("--trees", type=int, default=8)
-    ap.add_argument("--claim", choices=["gather", "band", "both"],
-                    default="both")
+    ap.add_argument("--claim", choices=["gather", "band", "push", "both"],
+                    default="both",
+                    help="claim kernel(s) to A/B; 'push' is the at-scale "
+                         "default in build_trees (frontier-compacted, "
+                         "O(N*kt) total)")
     ap.add_argument("--repeat", type=int, default=2,
                     help="passes per claim path (first is compile-inclusive)")
     ap.add_argument("--headline", action="store_true",
@@ -146,7 +149,9 @@ def main() -> int:
             _sync(res.labels)
             dt = time.perf_counter() - t
             tag = "cold" if r == 0 else "steady"
-            print(f"grow[{path}:{tag}]  {dt:8.2f}  cycles={int(res.cycles_run)}",
+            print(f"grow[{path}:{tag}]  {dt:8.2f}  "
+                  f"cycles={int(res.cycles_run)} "
+                  f"kernel={isolation.LAST_CLAIM_KERNEL}",
                   flush=True)
             results[(path, tag)] = (dt, np.asarray(res.labels))
     if prior_claim is None:

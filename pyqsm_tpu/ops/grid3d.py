@@ -342,9 +342,13 @@ def merge_hits(a, b):
 
 
 @jax.jit
-def _aabb_mask(origins: Array, dirs: Array, lo: Array, hi: Array) -> Array:
-    """Conservative slab test: True for rays whose forward segment touches
-    the [lo, hi] box (epsilon-padded)."""
+def _aabb_mask(origins: Array, dirs: Array, lo: Array, hi: Array
+               ) -> tuple[Array, Array]:
+    """Conservative slab test. Returns (touch, t_enter): ``touch`` is True
+    for rays whose forward segment touches the [lo, hi] box (epsilon-
+    padded); ``t_enter`` is the forward march parameter at which the ray
+    enters the box (0 when starting inside, junk where ``touch`` is
+    False)."""
     eps = 1e-4 * jnp.max(hi - lo)
     lo = lo - eps
     hi = hi + eps
@@ -356,7 +360,8 @@ def _aabb_mask(origins: Array, dirs: Array, lo: Array, hi: Array) -> Array:
                      jnp.where(inside, -jnp.inf, jnp.inf))
     tmax = jnp.where(dirs != 0, jnp.maximum(t0, t1),
                      jnp.where(inside, jnp.inf, -jnp.inf))
-    return jnp.maximum(jnp.max(tmin, 1), 0.0) <= jnp.min(tmax, 1)
+    t_enter = jnp.maximum(jnp.max(tmin, 1), 0.0)
+    return t_enter <= jnp.min(tmax, 1), t_enter
 
 
 def two_level_cast(grid, origins: Array, dirs: Array, wavefront: bool = False,
@@ -384,8 +389,14 @@ def two_level_cast(grid, origins: Array, dirs: Array, wavefront: bool = False,
     sub = grid.sub
     lo = sub.lo
     hi = lo + jnp.array([sub.nx, sub.ny, sub.nz], jnp.float32) * sub.cell
-    touch = _aabb_mask(jnp.asarray(origins, jnp.float32),
-                       jnp.asarray(dirs, jnp.float32), lo, hi)
+    touch, t_enter_sub = _aabb_mask(jnp.asarray(origins, jnp.float32),
+                                    jnp.asarray(dirs, jnp.float32), lo, hi)
+    if not cast_kw.get("count_all", False):
+        # occlusion cull: with closest-hit semantics a sub-grid triangle can
+        # only win for rays that ENTER the sub AABB before their primary
+        # closest hit — on open scenes this retires most of the bundle
+        # before the sub walk is even sized
+        touch = touch & (t_enter_sub <= a.t + 1e-4)
     r = origins.shape[0]
     m = int(jnp.sum(touch))  # host sync: cull count sizes the sub bundle
     if cast_kw.get("debug"):
@@ -1402,32 +1413,41 @@ def grid_cast_wavefront(
     if grid.n_residual > 0:
         t_res = _time.perf_counter()
         res = grid.residual
-        rt = 8192
-        rem = (-r) % rt
-        o_p = jnp.pad(o, ((0, rem), (0, 0)))
-        d_p = jnp.pad(d, ((0, rem), (0, 0)), constant_values=1.0)
+        nr = res.shape[0]
+        # TRANSPOSED [nr, rays]: rays ride the 128-lane minor axis and the
+        # whole bundle goes in as few dispatches as the element budget
+        # allows. The former [8192, nr] tiling padded nr (often 2-8 after a
+        # two-level split) to 128 lanes and serialized ~8 map groups —
+        # 2.7 s measured for n_residual=2 at 1M rays; this form is ~50 ms.
+        rows_r = grid.packed[jnp.maximum(res, 0)]  # [nr, 16]
+        ok_r = (res >= 0) & (rows_r[:, 9] > 0.5)
+        ctile = int(max(65536, min(r, (1 << 26) // max(nr, 1))))
+        remc = (-r) % ctile
+        o_p = jnp.pad(o, ((0, remc), (0, 0)))
+        d_p = jnp.pad(d, ((0, remc), (0, 0)), constant_values=1.0)
+        v0c = tuple(rows_r[:, a][:, None] for a in range(3))
+        e1c = tuple(rows_r[:, 3 + a][:, None] for a in range(3))
+        e2c = tuple(rows_r[:, 6 + a][:, None] for a in range(3))
+        from pyqsm_tpu.ops.raytrace import mt_components
 
-        def rtile(args):
-            ot, dt = args
-            slots = jnp.broadcast_to(res[None, :], (rt, res.shape[0]))
-            tt, u, v = _mt_batch(ot, dt, slots, grid.packed,
-                                 jnp.ones(rt, bool))
-            cnt = jnp.sum(jnp.isfinite(tt), 1).astype(jnp.int32)
-            j = jnp.argmin(tt, 1)
-            tmin = jnp.min(tt, 1)
-            tri = jnp.where(jnp.isfinite(tmin),
-                            jnp.take_along_axis(slots, j[:, None], 1)[:, 0],
-                            -1)
-            ub = jnp.take_along_axis(u, j[:, None], 1)[:, 0]
-            vb = jnp.take_along_axis(v, j[:, None], 1)[:, 0]
+        def rchunk(args):
+            oc, dc = args  # [ctile, 3]
+            tt, uu, vv = mt_components(
+                tuple(oc[:, a][None, :] for a in range(3)),  # [1, ctile]
+                tuple(dc[:, a][None, :] for a in range(3)),
+                v0c, e1c, e2c, ok_r[:, None])
+            cnt = jnp.sum(jnp.isfinite(tt), 0).astype(jnp.int32)
+            jj = jnp.argmin(tt, 0)
+            tmin = jnp.min(tt, 0)
+            tri = jnp.where(jnp.isfinite(tmin), res[jj], -1)
+            ub = jnp.take_along_axis(uu, jj[None, :], 0)[0]
+            vb = jnp.take_along_axis(vv, jj[None, :], 0)[0]
             return tmin, tri, ub, vb, cnt
 
-        ntr = o_p.shape[0] // rt
-        # batch_size: an UNbatched map over 123 tiles at 1M rays ran 123
-        # serial [8192, nr] dispatches — ~7.5 s of the 15 s steady call
+        nc = o_p.shape[0] // ctile
         tm, trm, um, vm, cm = jax.lax.map(
-            rtile, (o_p.reshape(ntr, rt, 3), d_p.reshape(ntr, rt, 3)),
-            batch_size=min(16, ntr))
+            rchunk, (o_p.reshape(nc, ctile, 3), d_p.reshape(nc, ctile, 3)),
+            batch_size=min(8, nc))
         tm = tm.reshape(-1)[:r]
         trm = trm.reshape(-1)[:r]
         um = um.reshape(-1)[:r]

@@ -381,6 +381,12 @@ def test_two_level_grid_matches_brute(rng):
         _assert_hits_match(hits, ref, verts, tris)
         np.testing.assert_array_equal(np.asarray(hits.count),
                                       np.asarray(ref.count))
+        # closest-hit mode engages the sub-AABB occlusion cull (rays whose
+        # primary hit precedes their sub-grid entry are dropped from the
+        # sub walk) — t/tri must still match the brute oracle exactly
+        hits_ch = two_level_cast(tl, origins, dirs, wavefront=wavefront,
+                                 count_all=False)
+        _assert_hits_match(hits_ch, ref, verts, tris)
 
     # plain scenes stay single-level
     small = sphere_mesh(jnp.array([0.0, 0, 0.0]), 1.0, n_lat=10, n_lon=20)
