@@ -548,6 +548,18 @@ def _bench_body(args) -> None:
             ARTIFACT.update(
                 ref_params_isolation_s=round(time.perf_counter() - t0, 2),
                 ref_params_trees_found=ref_trees,
+                note="ref-params cold done; steady pending")
+            # steady pass: the ref-params rep count (~3.8M at 10M pts) has
+            # its own shape bucket, so a cold-only number conflates tunnel
+            # compile/cache-load time with compute (r05 mid-round: 320.7 s
+            # cold on a fresh data draw vs 93.0 s warm)
+            t0 = time.perf_counter()
+            g = build_trees(pts, mask, ref_iso)
+            ref_trees = int(_lseg(g.labels, u_cap=4096)[4])
+            ARTIFACT.update(
+                ref_params_isolation_steady_s=round(
+                    time.perf_counter() - t0, 2),
+                ref_params_trees_found=ref_trees,
                 note="ref-params done; approx-topk pending")
         except Exception as e:  # noqa: BLE001
             ARTIFACT.update(ref_params_isolation_error=type(e).__name__)

@@ -49,8 +49,6 @@ def main() -> int:
     args = ap.parse_args()
 
     sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
-    from bench import synthetic_plot
-
     import jax
 
     if os.environ.get("JAX_PLATFORMS") == "cpu":
@@ -70,12 +68,14 @@ def main() -> int:
                               max_dist=0.2, cycles=400, min_frontier=3)
     else:
         cfg = IsolationConfig()
-    pts_np = synthetic_plot(args.n, n_trees=args.trees)
     t0 = time.perf_counter()
-    points = jnp.asarray(pts_np)
+    from bench import synthetic_plot_device
+
+    points = synthetic_plot_device(args.n, n_trees=args.trees)
     mask = jnp.ones(points.shape[0], bool)
     _sync(points)
-    print(f"upload_s          {time.perf_counter() - t0:8.2f}", flush=True)
+    print(f"generate_s        {time.perf_counter() - t0:8.2f} (on device — "
+          f"host upload variance was 20-757 s)", flush=True)
 
     pre_voxel = cfg.max_dist / 2.0
 

@@ -825,7 +825,7 @@ def _enumerate_visits(
     c_start: Array,
     lo: Array, cell: float, nx: int, ny: int, nz: int, skip_tab: Array,
     ray_tile: int, visits: int, max_steps: int, first_round: bool = True,
-    it_budget: int | None = None, unroll: int = 4,
+    it_budget: int | None = None, unroll: int = 8,
 ) -> tuple[Array, Array, Array, Array, Array]:
     """March each ray from ``t_start`` and record up to ``visits`` occupied
     cell ids. Returns (visit_cids [R, V] i32 (-1 pad), t_covered [R] march
@@ -1031,10 +1031,10 @@ def _enumerate_visits(
 @partial(jax.jit, static_argnames=("block",))
 def _sort_pairs(
     visit_cids: Array, block: int,
-) -> tuple[Array, Array, Array, Array, Array, Array, Array]:
+) -> tuple[Array, Array, Array, Array, Array, Array]:
     """Sort (ray, visited-cell) pairs cell-major and assign dense blocks of
     ``block`` pairs that never span two cells. Returns (skeys, srays,
-    blk_id, pos_in_blk, live_pair, inv_order, n_blk) where ``n_blk`` is the
+    blk_id, pos_in_blk, live_pair, n_blk) where ``n_blk`` is the
     EXACT number of live blocks — the MT dispatch is sized to it per round.
     (The former single-kernel design dispatched a worst-case block capacity
     every round: ~0.03 Mrays/s measured on the 1M-ray bench bundle, >20x
@@ -1060,10 +1060,7 @@ def _sort_pairs(
 
     live_pair = skeys < big
     n_blk = jnp.max(jnp.where(live_pair, blk_id, -1)) + 1
-    # inverse permutation by scatter (a second argsort costs another full
-    # [p] sort; the scatter is one pass)
-    inv_order = jnp.zeros(p, jnp.int32).at[order].set(idx)
-    return skeys, srays, blk_id, pos_in_blk, live_pair, inv_order, n_blk
+    return skeys, srays, blk_id, pos_in_blk, live_pair, n_blk
 
 
 @partial(jax.jit, static_argnames=("block", "nb_cap", "batch",
@@ -1071,7 +1068,7 @@ def _sort_pairs(
 def _mt_blocks(
     origins: Array, dirs: Array,
     skeys: Array, srays: Array, blk_id: Array, pos_in_blk: Array,
-    live_pair: Array, inv_order: Array,
+    live_pair: Array,
     tri_of_slot: Array, packed: Array,
     lo: Array, cell_size: Array, dims: Array,
     block: int, nb_cap: int, batch: int = 64,
@@ -1082,8 +1079,6 @@ def _mt_blocks(
     Returns per-ray (t, tri, u, v, count) best-of-round. One [cap, 16]
     triangle fetch serves a dense [block, cap] MT batch per block."""
     r = origins.shape[0]
-    p = skeys.shape[0]
-    v = p // r
     blk_safe = jnp.where(live_pair, jnp.minimum(blk_id, nb_cap - 1), nb_cap)
     block_cell = jnp.full(nb_cap + 1, -1, jnp.int32).at[blk_safe].max(
         jnp.where(live_pair, skeys, -1), mode="drop")[:nb_cap]
@@ -1154,30 +1149,35 @@ def _mt_blocks(
     t_b, tri_b, u_b, v_b, c_b = jax.lax.map(
         tile, jnp.arange(nbt), batch_size=min(16, nbt))
 
-    # pair results back to (ray, visit) layout: sorted pair i lives at
-    # (blk_id[i], pos_in_blk[i]); clip covers the nb_cap overflow guard
-    flat = (jnp.minimum(blk_id, nb_cap - 1) * block + pos_in_blk)
-    t_sorted = t_b.reshape(-1)[flat]
-    tri_sorted = tri_b.reshape(-1)[flat]
-    u_sorted = u_b.reshape(-1)[flat]
-    v_sorted = v_b.reshape(-1)[flat]
-    c_sorted = c_b.reshape(-1)[flat]
-    overflow = blk_id >= nb_cap  # pairs beyond capacity: nothing tested
-    t_sorted = jnp.where(live_pair & ~overflow, t_sorted, jnp.inf)
-    c_sorted = jnp.where(live_pair & ~overflow, c_sorted, 0)
-
-    t_pair = t_sorted[inv_order].reshape(r, v)
-    tri_pair = tri_sorted[inv_order].reshape(r, v)
-    u_pair = u_sorted[inv_order].reshape(r, v)
-    v_pair = v_sorted[inv_order].reshape(r, v)
-    c_pair = c_sorted[inv_order].reshape(r, v)
-
-    j = jnp.argmin(t_pair, 1)
-    best_t = jnp.min(t_pair, 1)
-    take = lambda a: jnp.take_along_axis(a, j[:, None], 1)[:, 0]
-    best_tri = jnp.where(jnp.isfinite(best_t), take(tri_pair), -1)
-    return (best_t, best_tri, take(u_pair), take(v_pair),
-            jnp.sum(c_pair, 1))
+    # per-ray reduction DIRECTLY from the block layout: each block slot's
+    # ray id is pair_ray, so two scatter-min passes + one scatter-add
+    # replace the former pair-unsort (5x [p] gathers through `flat`, then
+    # 5x more through `inv_order`, then a [r, v] argmin + 3 takes — ~0.35 s
+    # of the 0.62 s call at round-0 bench stats). Pad slots carry ray -1 /
+    # t inf and drop at index r; overflow pairs (blk_id >= nb_cap) never
+    # received a slot, which is exactly the old masking.
+    np_slots = nb_cap * block
+    t_flat = t_b.reshape(-1)
+    ray_flat = pair_ray.reshape(-1)
+    wr = jnp.where(ray_flat >= 0, ray_flat, r)
+    best_t = jnp.full(r + 1, jnp.inf).at[wr].min(t_flat, mode="drop")
+    count = jnp.zeros(r + 1, jnp.int32).at[wr].add(
+        c_b.reshape(-1), mode="drop")[:r]
+    # winner slot per ray: min flat index among t-equal best pairs (t is
+    # bit-identical across duplicates of the same triangle, so ties only
+    # pick between equal hits; deterministic either way)
+    is_best = jnp.isfinite(t_flat) & (
+        t_flat <= best_t[jnp.minimum(wr, r)])
+    pidx = jnp.arange(np_slots, dtype=jnp.int32)
+    win = jnp.full(r + 1, jnp.int32(np.iinfo(np.int32).max)).at[
+        jnp.where(is_best, wr, r)].min(pidx, mode="drop")[:r]
+    best_t = best_t[:r]
+    has = jnp.isfinite(best_t)
+    safe_win = jnp.where(has, jnp.minimum(win, np_slots - 1), 0)
+    best_tri = jnp.where(has, tri_b.reshape(-1)[safe_win], -1)
+    best_u = jnp.where(has, u_b.reshape(-1)[safe_win], 0.0)
+    best_v = jnp.where(has, v_b.reshape(-1)[safe_win], 0.0)
+    return best_t, best_tri, best_u, best_v, count
 
 
 @partial(jax.jit, static_argnames=("count_all",))
@@ -1318,7 +1318,7 @@ def grid_cast_wavefront(
             visits=v_rnd, max_steps=max_steps, first_round=(rnd == 0),
             it_budget=b_rnd)
         t_enum = _tick(t_walk)
-        skeys, srays, blk_id, pos_in_blk, live_pair, inv_order, n_blk_d = \
+        skeys, srays, blk_id, pos_in_blk, live_pair, n_blk_d = \
             _sort_pairs(jnp.where(alive[:, None], vis, -1), block)
         n_blk = int(n_blk_d)  # host sync: exact live block count this round
         t_sort = _time.perf_counter()
@@ -1336,7 +1336,7 @@ def grid_cast_wavefront(
                 nb_cap = -4096 * (-n_blk // 4096)
             t, tri, u, v, cnt = _mt_blocks(
                 o_c, d_c, skeys, srays, blk_id, pos_in_blk, live_pair,
-                inv_order, grid.tri_of_slot, grid.packed,
+                grid.tri_of_slot, grid.packed,
                 grid.lo, jnp.float32(grid.cell), dims,
                 block=block, nb_cap=nb_cap,
                 cell_rank=grid.cell_rank, cell_rows=grid.cell_rows,
