@@ -37,6 +37,9 @@ def main() -> int:
     if os.environ.get("JAX_PLATFORMS") == "cpu":
         # the axon plugin ignores the env var; only the config call works
         jax.config.update("jax_platforms", "cpu")
+    from pyqsm_tpu.pipeline.cli import enable_compilation_cache
+
+    enable_compilation_cache()  # tunnel compiles are ~85 s/program otherwise
     import jax.numpy as jnp
 
     from pyqsm_tpu.ops.grid3d import build_grid3d_two_level, two_level_cast

@@ -409,6 +409,7 @@ def id_trunk_bases(
     cfg: IsolationConfig | None = None,
     exclude_regions: list | None = None,
     clean: bool = True,
+    coarsen_rows: int = 65536,
 ) -> tuple[Array, Array, Array]:
     """Find trunk-base seed clusters on the low z-slice
     (ref ``id_trunk_bases``, ``tree_isolation.py:285-326``).
@@ -438,21 +439,55 @@ def id_trunk_bases(
     bmask = bidx >= 0
     bpts = points[jnp.maximum(bidx, 0)]
 
+    # Seed-scale coarsening: DBSCAN(eps, min_points) only needs density at
+    # the eps scale, but the O(M²) core-count/kNN below run at the INPUT
+    # resolution — at reference isolation params (10M pts, 0.05 m reps)
+    # the 3% slice is ~131k rows and these ops were the single largest
+    # ref-params isolation stage (14.7 s steady on v5e). When the slice is
+    # large, re-voxel it at eps/8 with per-rep multiplicity WEIGHTS: core
+    # counting still counts slice ROWS (ref semantics: raw point counts,
+    # tree_isolation.py:316), each displaced at most eps·√3/16. Small
+    # slices keep the exact row-resolution path (bit-identical behavior).
+    coarsen = cap > coarsen_rows
+    if coarsen:
+        from pyqsm_tpu.ops.sampling import compact_rows, voxel_downsample
+
+        vpts, vmask, vtrace = voxel_downsample(
+            bpts, float(cfg.base_eps) / 8.0, bmask)
+        w_rep = jnp.zeros(cap + 1, jnp.float32).at[
+            jnp.where(bmask & (vtrace >= 0), vtrace, cap)
+        ].add(1.0, mode="drop")[:cap]
+        spts, smask, srows, sweights = compact_rows(vpts, vmask, w_rep)
+    else:
+        spts, smask, sweights = bpts, bmask, None
+
     if clean:
-        bmask = _clean_slice(bpts, bmask)
+        smask = _clean_slice(spts, smask)
 
     # DBSCAN on the low slice: eps=1 m, min 300 pts (ref :316). Exact core
     # counting via radius_count; small capped lists carry connectivity only
     # (large top_k is pathologically slow on TPU).
     from pyqsm_tpu.ops.neighbors import radius_count
 
-    counts = radius_count(bpts, bpts, radius=cfg.base_eps,
-                          query_mask=bmask, point_mask=bmask)
-    core = bmask & (counts >= cfg.base_min_points)
-    d, i = radius_knn(bpts, bpts, radius=cfg.base_eps, k=32,
-                      query_mask=bmask, point_mask=bmask)
-    blabels = dbscan_from_neighbors(i, d, bmask, min_samples=cfg.base_min_points,
+    counts = radius_count(spts, spts, radius=cfg.base_eps,
+                          query_mask=smask, point_mask=smask,
+                          weights=sweights)
+    core = smask & (counts >= cfg.base_min_points)
+    d, i = radius_knn(spts, spts, radius=cfg.base_eps, k=32,
+                      query_mask=smask, point_mask=smask)
+    blabels = dbscan_from_neighbors(i, d, smask, min_samples=cfg.base_min_points,
                                     core=core)
+    if coarsen:
+        # expand rep labels to slice rows: slice row -> rep row (vtrace)
+        # -> compact rep row (inverse of srows) -> label
+        inv_v = jnp.full(cap + 1, -1, jnp.int32).at[
+            jnp.where(smask, srows, cap)
+        ].set(jnp.arange(srows.shape[0], dtype=jnp.int32), mode="drop")[:cap]
+        crow = inv_v[jnp.maximum(vtrace, 0)]
+        ok = bmask & (vtrace >= 0) & (crow >= 0)
+        blabels = jnp.where(ok, blabels[jnp.maximum(crow, 0)], -1)
+        # rows whose rep was cleaned away leave the low set entirely
+        bmask = ok
     # scatter labels back to full rows
     n = points.shape[0]
     labels = jnp.full(n + 1, -1, jnp.int32).at[

@@ -207,9 +207,14 @@ def radius_count(
     point_mask: Array | None = None,
     query_tile: int = 1024,
     candidate_tile: int = 2048,
+    weights: Array | None = None,
 ) -> Array:
     """Number of live points within ``radius`` of each query (degree in the
-    radius graph — `lib_integration.get_pairs` capability, without the cap)."""
+    radius graph — `lib_integration.get_pairs` capability, without the cap).
+
+    With ``weights`` [n_points] f32, returns the SUM of live in-radius
+    weights instead (f32) — e.g. per-representative multiplicities, so a
+    coarsened cloud still counts original rows."""
     nq = queries.shape[0]
     npt = points.shape[0]
     if point_mask is None:
@@ -222,6 +227,10 @@ def radius_count(
     t = pts.shape[0] // candidate_tile
     pts_tiles = pts.reshape(t, candidate_tile, 3)
     live_tiles = live.reshape(t, candidate_tile)
+    w_tiles = None
+    if weights is not None:
+        w = _pad_rows(jnp.asarray(weights, jnp.float32), candidate_tile, 0.0)
+        w_tiles = w.reshape(t, candidate_tile)
     q = jnp.where(query_mask[:, None], queries, jnp.inf)
     q = _pad_rows(q, query_tile, jnp.inf)
     q_tiles = q.reshape(-1, query_tile, 3)
@@ -232,7 +241,10 @@ def radius_count(
         qf = jnp.where(jnp.isfinite(qt), qt, 0.0)
 
         def step(count, tile):
-            pts_, live_ = tile
+            if weights is None:
+                pts_, live_ = tile
+            else:
+                pts_, live_, w_ = tile
             p_sq = jnp.sum(pts_ * pts_, axis=-1)
             p_sq = jnp.where(live_, p_sq, jnp.inf)
             pf = jnp.where(jnp.isfinite(pts_), pts_, 0.0)
@@ -240,9 +252,17 @@ def radius_count(
                 qf, pf.T, preferred_element_type=jnp.float32,
                 precision=jax.lax.Precision.HIGHEST,
             )
-            return count + jnp.sum((d2 <= r2).astype(jnp.int32), axis=1), None
+            inr = d2 <= r2
+            if weights is None:
+                return count + jnp.sum(inr.astype(jnp.int32), axis=1), None
+            return count + jnp.sum(jnp.where(inr, w_[None, :], 0.0),
+                                   axis=1), None
 
-        c, _ = jax.lax.scan(step, jnp.zeros(qt.shape[0], jnp.int32), (pts_tiles, live_tiles))
+        zero = (jnp.zeros(qt.shape[0], jnp.int32) if weights is None
+                else jnp.zeros(qt.shape[0], jnp.float32))
+        tiles = ((pts_tiles, live_tiles) if weights is None
+                 else (pts_tiles, live_tiles, w_tiles))
+        c, _ = jax.lax.scan(step, zero, tiles)
         return c
 
     counts = jax.lax.map(per_tile, q_tiles).reshape(-1)[:nq]

@@ -34,6 +34,33 @@ def test_id_trunk_bases_finds_two(rng):
     assert abs(seeds0[:, 0].mean() - seeds1[:, 0].mean()) > 5
 
 
+def test_id_trunk_bases_coarsened_matches_exact(rng):
+    """The eps/8 seed-scale coarsening (engaged at reference isolation
+    params where the low slice is ~131k rows and the O(M²) seed ops were
+    14.7 s of the ref-params run) must find the same seed clusters as the
+    exact row-resolution path: same cluster count, and the same row
+    partition up to label renaming on ≥97% of seeded rows (voxel-rep
+    displacement ≤ eps·√3/16 can flip individual border rows)."""
+    pts = two_tree_plot(rng)
+    mask = jnp.ones(len(pts), bool)
+    cfg = IsolationConfig(base_min_points=50, low_pctile=5.0)
+    exact, low_e, _ = id_trunk_bases(jnp.asarray(pts), mask, cfg)
+    coarse, low_c, _ = id_trunk_bases(jnp.asarray(pts), mask, cfg,
+                                      coarsen_rows=256)
+    ex, co = np.asarray(exact), np.asarray(coarse)
+    assert len(np.unique(ex[ex >= 0])) == len(np.unique(co[co >= 0])) == 2
+    # majority-map coarse ids onto exact ids, then compare row partitions
+    both = (ex >= 0) & (co >= 0)
+    remap = {}
+    for cid in np.unique(co[co >= 0]):
+        vals, counts = np.unique(ex[both & (co == cid)], return_counts=True)
+        remap[cid] = vals[np.argmax(counts)]
+    agree = np.array([remap[c] for c in co[both]]) == ex[both]
+    assert agree.mean() >= 0.97
+    either = (ex >= 0) | (co >= 0)
+    assert both.sum() >= 0.97 * either.sum()
+
+
 def test_region_grow_on_chain():
     # linear chain of points 0.05 apart; two seeds at the two ends
     n = 100
