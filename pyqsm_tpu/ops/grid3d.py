@@ -327,9 +327,12 @@ def build_grid3d_two_level(
                         sub_tri_ids=jnp.asarray(id_map))
 
 
+@jax.jit
 def merge_hits(a, b):
     """Closest-hit merge of two casts over DISJOINT triangle sets: winner by
-    smaller t; crossing counts add (exact under ``count_all=True``)."""
+    smaller t; crossing counts add (exact under ``count_all=True``).
+    Jitted: callers invoke it as eager glue between host-stepped casts, and
+    each of its 5 ops otherwise pays a separate tunnel dispatch."""
     from pyqsm_tpu.ops.raytrace import Hits
 
     b_wins = b.t < a.t
@@ -422,22 +425,8 @@ def two_level_cast(grid, origins: Array, dirs: Array, wavefront: bool = False,
     live = sel >= 0
     # padding rows alias ray 0 but their results are dropped on scatter
     bs = caster(sub, origins[safe], dirs[safe], **cast_kw)
-    row = jnp.where(live, safe, r)
-    t_b = jnp.full(r + 1, jnp.inf).at[row].set(
-        jnp.where(live, bs.t, jnp.inf), mode="drop")[:r]
-    tri_b = jnp.full(r + 1, -1, jnp.int32).at[row].set(
-        jnp.where(live, bs.tri, -1), mode="drop")[:r]
-    uv_b = jnp.zeros((r + 1, 2)).at[row].set(
-        jnp.where(live[:, None], bs.uv, 0.0), mode="drop")[:r]
-    cnt_b = jnp.zeros(r + 1, jnp.int32).at[row].set(
-        jnp.where(live, bs.count, 0), mode="drop")[:r]
-    from pyqsm_tpu.ops.raytrace import Hits
-
-    b = Hits(t=t_b,
-             tri=jnp.where(tri_b >= 0,
-                           grid.sub_tri_ids[jnp.maximum(tri_b, 0)], tri_b),
-             uv=uv_b, count=cnt_b)
-    return merge_hits(a, b)
+    return _scatter_sub_hits(a, bs.t, bs.tri, bs.uv, bs.count, safe, live,
+                             grid.sub_tri_ids)
 
 
 def _chebyshev_dt(occ3: np.ndarray, max_dist: int = 64) -> np.ndarray:
@@ -1030,7 +1019,7 @@ def _enumerate_visits(
 
 @partial(jax.jit, static_argnames=("block",))
 def _sort_pairs(
-    visit_cids: Array, block: int,
+    visit_cids: Array, block: int, alive: Array | None = None,
 ) -> tuple[Array, Array, Array, Array, Array, Array]:
     """Sort (ray, visited-cell) pairs cell-major and assign dense blocks of
     ``block`` pairs that never span two cells. Returns (skeys, srays,
@@ -1043,6 +1032,8 @@ def _sort_pairs(
     p = r * v
     big = jnp.int32(np.iinfo(np.int32).max)
 
+    if alive is not None:  # dead-ray masking folded in (was an eager op)
+        visit_cids = jnp.where(alive[:, None], visit_cids, -1)
     keys = jnp.where(visit_cids >= 0, visit_cids, big).reshape(-1)
     ray_of = jnp.repeat(jnp.arange(r, dtype=jnp.int32), v)
     order = jnp.argsort(keys)
@@ -1212,6 +1203,141 @@ def _merge_round(
     return best_t, best_tri, best_u, best_v, count, alive_new
 
 
+@partial(jax.jit, static_argnames=("cap",))
+def _compact_frontier(alive, o_c, d_c, t_walk, c_resume, ridx, cap: int):
+    """Front-pack the surviving frontier into a ``cap``-row buffer in ONE
+    program. This was ~8 eager ops (nonzero + 6 gathers), each a separate
+    tunnel dispatch — measured as a visible slice of every compacted
+    round's wall on axon-attached chips."""
+    from pyqsm_tpu.ops.sampling import nonzero_rows
+
+    sel = nonzero_rows(alive, cap)
+    safe = jnp.maximum(sel, 0)
+    return (o_c[safe], d_c[safe], t_walk[safe], c_resume[safe],
+            ridx[safe], sel >= 0)
+
+
+@partial(jax.jit, static_argnames=("cap",))
+def _gather_tail(alive, o_c, d_c, ridx, cap: int):
+    """Gather the straggler rays for the tail-fallback ``grid_cast`` in one
+    program (origin/dir rows + original ray ids + liveness)."""
+    from pyqsm_tpu.ops.sampling import nonzero_rows
+
+    sel = nonzero_rows(alive, cap)
+    safe = jnp.maximum(sel, 0)
+    return o_c[safe], d_c[safe], ridx[safe], sel >= 0
+
+
+@jax.jit
+def _scatter_tail(best_t, best_tri, best_u, best_v, count,
+                  rows_live, live, hf_t, hf_tri, hf_uv, hf_count):
+    """Scatter the tail-fallback results back to full-bundle rows in one
+    program (REPLACE semantics — grid_cast walks from the origin, so its
+    results are complete on their own). Returns the updated best arrays
+    plus the ``handled`` mask the residual pass uses to exclude these
+    rays."""
+    r = best_t.shape[0]
+    rows = jnp.where(live, rows_live, r)
+    best_t = best_t.at[rows].set(jnp.where(live, hf_t, jnp.inf), mode="drop")
+    best_tri = best_tri.at[rows].set(jnp.where(live, hf_tri, -1), mode="drop")
+    best_u = best_u.at[rows].set(
+        jnp.where(live, hf_uv[:, 0], 0.0), mode="drop")
+    best_v = best_v.at[rows].set(
+        jnp.where(live, hf_uv[:, 1], 0.0), mode="drop")
+    count = count.at[rows].set(jnp.where(live, hf_count, 0), mode="drop")
+    handled = jnp.zeros(r, bool).at[rows].set(live, mode="drop")
+    return best_t, best_tri, best_u, best_v, count, handled
+
+
+@partial(jax.jit, static_argnames=("has_handled",))
+def _residual_merge(o, d, rows_r, res, best_t, best_tri, best_u, best_v,
+                    count, handled, has_handled: bool):
+    """Brute-test the overflow-spilled triangles against the WHOLE bundle
+    and fold the closest hit + crossing counts into the best arrays — as
+    ONE cached program. The former eager form re-traced its ``lax.map``
+    body on every call and issued ~30 separate tunnel dispatches: 4.4 s
+    measured at [6 tris, 1M rays] on v5e-over-axon vs 0.05 s jitted.
+
+    TRANSPOSED [nr, rays]: rays ride the 128-lane minor axis (see the
+    section comment in ``grid_cast_wavefront``)."""
+    r = o.shape[0]
+    nr = rows_r.shape[0]
+    ok_r = (res >= 0) & (rows_r[:, 9] > 0.5)
+    ctile = int(max(65536, min(r, (1 << 26) // max(nr, 1))))
+    remc = (-r) % ctile
+    o_p = jnp.pad(o, ((0, remc), (0, 0)))
+    d_p = jnp.pad(d, ((0, remc), (0, 0)), constant_values=1.0)
+    v0c = tuple(rows_r[:, a][:, None] for a in range(3))
+    e1c = tuple(rows_r[:, 3 + a][:, None] for a in range(3))
+    e2c = tuple(rows_r[:, 6 + a][:, None] for a in range(3))
+    from pyqsm_tpu.ops.raytrace import mt_components
+
+    def rchunk(args):
+        oc, dc = args  # [ctile, 3]
+        tt, uu, vv = mt_components(
+            tuple(oc[:, a][None, :] for a in range(3)),  # [1, ctile]
+            tuple(dc[:, a][None, :] for a in range(3)),
+            v0c, e1c, e2c, ok_r[:, None])
+        cnt = jnp.sum(jnp.isfinite(tt), 0).astype(jnp.int32)
+        jj = jnp.argmin(tt, 0)
+        tmin = jnp.min(tt, 0)
+        tri = jnp.where(jnp.isfinite(tmin), res[jj], -1)
+        ub = jnp.take_along_axis(uu, jj[None, :], 0)[0]
+        vb = jnp.take_along_axis(vv, jj[None, :], 0)[0]
+        return tmin, tri, ub, vb, cnt
+
+    nc = o_p.shape[0] // ctile
+    tm, trm, um, vm, cm = jax.lax.map(
+        rchunk, (o_p.reshape(nc, ctile, 3), d_p.reshape(nc, ctile, 3)),
+        batch_size=min(8, nc))
+    tm = tm.reshape(-1)[:r]
+    trm = trm.reshape(-1)[:r]
+    um = um.reshape(-1)[:r]
+    vm = vm.reshape(-1)[:r]
+    cm = cm.reshape(-1)[:r]
+    if has_handled:  # fallback rays: residual already applied by grid_cast
+        tm = jnp.where(handled, jnp.inf, tm)
+        cm = jnp.where(handled, 0, cm)
+    better = tm < best_t
+    best_tri = jnp.where(better, trm, best_tri)
+    best_u = jnp.where(better, um, best_u)
+    best_v = jnp.where(better, vm, best_v)
+    best_t = jnp.minimum(best_t, tm)
+    return best_t, best_tri, best_u, best_v, count + cm
+
+
+@jax.jit
+def _scatter_sub_hits(a, bs_t, bs_tri, bs_uv, bs_count, safe, live,
+                      sub_tri_ids):
+    """Merge a culled sub-grid cast back into the primary hits in one
+    program: scatter the compacted sub results to full-bundle rows, remap
+    compact triangle ids to global, closest-hit merge (``merge_hits``
+    semantics). Was ~15 eager scatter/where dispatches."""
+    from pyqsm_tpu.ops.raytrace import Hits
+
+    r = a.t.shape[0]
+    row = jnp.where(live, safe, r)
+    t_b = jnp.full(r + 1, jnp.inf).at[row].set(
+        jnp.where(live, bs_t, jnp.inf), mode="drop")[:r]
+    tri_b = jnp.full(r + 1, -1, jnp.int32).at[row].set(
+        jnp.where(live, bs_tri, -1), mode="drop")[:r]
+    uv_b = jnp.zeros((r + 1, 2)).at[row].set(
+        jnp.where(live[:, None], bs_uv, 0.0), mode="drop")[:r]
+    cnt_b = jnp.zeros(r + 1, jnp.int32).at[row].set(
+        jnp.where(live, bs_count, 0), mode="drop")[:r]
+    b = Hits(t=t_b,
+             tri=jnp.where(tri_b >= 0,
+                           sub_tri_ids[jnp.maximum(tri_b, 0)], tri_b),
+             uv=uv_b, count=cnt_b)
+    b_wins = b.t < a.t
+    return Hits(
+        t=jnp.minimum(a.t, b.t),
+        tri=jnp.where(b_wins, b.tri, a.tri),
+        uv=jnp.where(b_wins[:, None], b.uv, a.uv),
+        count=a.count + b.count,
+    )
+
+
 def grid_cast_wavefront(
     grid: Grid3D,
     origins: Array,
@@ -1319,7 +1445,7 @@ def grid_cast_wavefront(
             it_budget=b_rnd)
         t_enum = _tick(t_walk)
         skeys, srays, blk_id, pos_in_blk, live_pair, n_blk_d = \
-            _sort_pairs(jnp.where(alive[:, None], vis, -1), block)
+            _sort_pairs(vis, block, alive)
         n_blk = int(n_blk_d)  # host sync: exact live block count this round
         t_sort = _time.perf_counter()
         if n_blk > 0:
@@ -1370,98 +1496,38 @@ def grid_cast_wavefront(
             # from the origin, so t/tri/uv/count are complete on their
             # own), and ``handled`` excludes them from the shared residual
             # pass below (grid_cast brute-tests the spill rows itself).
-            from pyqsm_tpu.ops.sampling import nonzero_rows
-
             t_fb = _time.perf_counter()
-            sel = nonzero_rows(alive, tail_fallback)
-            safe = jnp.maximum(sel, 0)
-            live = sel >= 0
-            hf = grid_cast(grid, o_c[safe], d_c[safe],
+            o_t, d_t, rows_live, live = _gather_tail(
+                alive, o_c, d_c, ridx, tail_fallback)
+            hf = grid_cast(grid, o_t, d_t,
                            ray_tile=tail_fallback, count_all=count_all)
-            rows = jnp.where(live, ridx[safe], r)
-            best_t = best_t.at[rows].set(
-                jnp.where(live, hf.t, jnp.inf), mode="drop")
-            best_tri = best_tri.at[rows].set(
-                jnp.where(live, hf.tri, -1), mode="drop")
-            best_u = best_u.at[rows].set(
-                jnp.where(live, hf.uv[:, 0], 0.0), mode="drop")
-            best_v = best_v.at[rows].set(
-                jnp.where(live, hf.uv[:, 1], 0.0), mode="drop")
-            count = count.at[rows].set(
-                jnp.where(live, hf.count, 0), mode="drop")
-            handled = jnp.zeros(r, bool).at[rows].set(live, mode="drop")
+            best_t, best_tri, best_u, best_v, count, handled = \
+                _scatter_tail(best_t, best_tri, best_u, best_v, count,
+                              rows_live, live, hf.t, hf.tri, hf.uv,
+                              hf.count)
             if debug:
                 print(f"# wavefront tail-fallback n={n_alive} "
                       f"dt={_tick(best_t) - t_fb:.3f}s", flush=True)
             break
         if n_alive <= rc // 4 and rc > 2048:
-            from pyqsm_tpu.ops.sampling import nonzero_rows
-
             rc_new = 2048
             while rc_new < n_alive:
                 rc_new *= 4
-            sel = nonzero_rows(alive, rc_new)
-            safe = jnp.maximum(sel, 0)
-            o_c, d_c = o_c[safe], d_c[safe]
-            t_walk = t_walk[safe]
-            c_resume = c_resume[safe]
-            ridx = ridx[safe]
-            alive = sel >= 0
+            o_c, d_c, t_walk, c_resume, ridx, alive = _compact_frontier(
+                alive, o_c, d_c, t_walk, c_resume, ridx, rc_new)
             rc = rc_new
 
-    # residual pass (overflow-spilled triangles) — identical to grid_cast
+    # residual pass (overflow-spilled triangles) — identical to grid_cast.
+    # One jitted program (_residual_merge): the eager form re-traced its
+    # lax.map body every call — 4.4 s vs 0.05 s at [6, 1M] on v5e-over-axon.
     if grid.n_residual > 0:
         t_res = _time.perf_counter()
         res = grid.residual
-        nr = res.shape[0]
-        # TRANSPOSED [nr, rays]: rays ride the 128-lane minor axis and the
-        # whole bundle goes in as few dispatches as the element budget
-        # allows. The former [8192, nr] tiling padded nr (often 2-8 after a
-        # two-level split) to 128 lanes and serialized ~8 map groups —
-        # 2.7 s measured for n_residual=2 at 1M rays; this form is ~50 ms.
         rows_r = grid.packed[jnp.maximum(res, 0)]  # [nr, 16]
-        ok_r = (res >= 0) & (rows_r[:, 9] > 0.5)
-        ctile = int(max(65536, min(r, (1 << 26) // max(nr, 1))))
-        remc = (-r) % ctile
-        o_p = jnp.pad(o, ((0, remc), (0, 0)))
-        d_p = jnp.pad(d, ((0, remc), (0, 0)), constant_values=1.0)
-        v0c = tuple(rows_r[:, a][:, None] for a in range(3))
-        e1c = tuple(rows_r[:, 3 + a][:, None] for a in range(3))
-        e2c = tuple(rows_r[:, 6 + a][:, None] for a in range(3))
-        from pyqsm_tpu.ops.raytrace import mt_components
-
-        def rchunk(args):
-            oc, dc = args  # [ctile, 3]
-            tt, uu, vv = mt_components(
-                tuple(oc[:, a][None, :] for a in range(3)),  # [1, ctile]
-                tuple(dc[:, a][None, :] for a in range(3)),
-                v0c, e1c, e2c, ok_r[:, None])
-            cnt = jnp.sum(jnp.isfinite(tt), 0).astype(jnp.int32)
-            jj = jnp.argmin(tt, 0)
-            tmin = jnp.min(tt, 0)
-            tri = jnp.where(jnp.isfinite(tmin), res[jj], -1)
-            ub = jnp.take_along_axis(uu, jj[None, :], 0)[0]
-            vb = jnp.take_along_axis(vv, jj[None, :], 0)[0]
-            return tmin, tri, ub, vb, cnt
-
-        nc = o_p.shape[0] // ctile
-        tm, trm, um, vm, cm = jax.lax.map(
-            rchunk, (o_p.reshape(nc, ctile, 3), d_p.reshape(nc, ctile, 3)),
-            batch_size=min(8, nc))
-        tm = tm.reshape(-1)[:r]
-        trm = trm.reshape(-1)[:r]
-        um = um.reshape(-1)[:r]
-        vm = vm.reshape(-1)[:r]
-        cm = cm.reshape(-1)[:r]
-        if handled is not None:  # fallback rays: residual already applied
-            tm = jnp.where(handled, jnp.inf, tm)
-            cm = jnp.where(handled, 0, cm)
-        better = tm < best_t
-        best_tri = jnp.where(better, trm, best_tri)
-        best_u = jnp.where(better, um, best_u)
-        best_v = jnp.where(better, vm, best_v)
-        best_t = jnp.minimum(best_t, tm)
-        count = count + cm
+        best_t, best_tri, best_u, best_v, count = _residual_merge(
+            o, d, rows_r, res, best_t, best_tri, best_u, best_v, count,
+            handled if handled is not None else jnp.zeros(r, bool),
+            handled is not None)
         if debug:
             print(f"# wavefront residual n={grid.n_residual} "
                   f"dt={_tick(best_t) - t_res:.3f}s", flush=True)
